@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdnerf_tpu.ops.sampling import merge_z_vals, sample_pdf, up_sample
+
+
+def numpy_sample_pdf(bins, weights, n_samples, u):
+    """Tiny numpy oracle for inverse-CDF sampling."""
+    weights = weights + 1e-5
+    pdf = weights / weights.sum(-1, keepdims=True)
+    cdf = np.concatenate(
+        [np.zeros_like(pdf[..., :1]), np.cumsum(pdf, -1)], axis=-1
+    )
+    out = np.empty_like(u)
+    for b in range(u.shape[0]):
+        inds = np.searchsorted(cdf[b], u[b], side="right")
+        below = np.maximum(inds - 1, 0)
+        above = np.minimum(inds, cdf.shape[-1] - 1)
+        denom = cdf[b][above] - cdf[b][below]
+        denom = np.where(denom < 1e-5, 1.0, denom)
+        t = (u[b] - cdf[b][below]) / denom
+        out[b] = bins[b][below] + t * (bins[b][above] - bins[b][below])
+    return out
+
+
+def test_sample_pdf_det_matches_numpy(rng):
+    n_rays, n_bins, n_new = 6, 16, 8
+    bins = np.sort(rng.uniform(0, 4, size=(n_rays, n_bins)), axis=-1).astype(
+        np.float32
+    )
+    weights = rng.uniform(0, 1, size=(n_rays, n_bins - 1)).astype(np.float32)
+    u = np.broadcast_to(
+        np.linspace(0.5 / n_new, 1 - 0.5 / n_new, n_new, dtype=np.float32),
+        (n_rays, n_new),
+    ).copy()
+    ours = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), n_new, det=True))
+    ref = numpy_sample_pdf(bins, weights, n_new, u)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_sample_pdf_concentrates_on_heavy_bins():
+    bins = jnp.linspace(0.0, 1.0, 11)[None, :].repeat(4, axis=0)
+    weights = jnp.zeros((4, 10)).at[:, 5].set(1.0)  # all mass in bin 5
+    samples = np.asarray(sample_pdf(bins, weights, 16, det=True))
+    # nearly all samples should land inside bin 5 = [0.5, 0.6]
+    frac_inside = ((samples >= 0.45) & (samples <= 0.65)).mean()
+    assert frac_inside > 0.9
+
+
+def test_sample_pdf_stochastic_in_range(rng):
+    bins = jnp.linspace(0.0, 2.0, 9)[None, :].repeat(3, axis=0)
+    weights = jnp.ones((3, 8))
+    s = np.asarray(
+        sample_pdf(bins, weights, 32, key=jax.random.PRNGKey(0), det=False)
+    )
+    assert (s >= 0).all() and (s <= 2).all()
+
+
+def test_up_sample_targets_zero_crossing():
+    """With a sphere SDF, importance samples must cluster at the surface."""
+    n_rays, n_samples = 4, 64
+    rays_o = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n_rays, 1))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n_rays, 1))
+    z_vals = jnp.linspace(1.0, 3.0, n_samples)[None, :].repeat(n_rays, axis=0)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    sdf = jnp.linalg.norm(pts, axis=-1) - 0.5  # sphere radius 0.5
+
+    new_z = np.asarray(up_sample(rays_o, rays_d, z_vals, sdf, 16, 64.0))
+    assert new_z.shape == (n_rays, 16)
+    # surface hit at z = 1.5 (front); samples should be near it
+    assert np.abs(new_z - 1.5).min(axis=-1).max() < 0.1
+    assert (np.abs(new_z - 1.5) < 0.5).mean() > 0.8
+
+
+def test_merge_z_vals_sorted_and_carries_sdf(rng):
+    z = np.sort(rng.uniform(0, 1, (5, 8)), -1).astype(np.float32)
+    new_z = rng.uniform(0, 1, (5, 4)).astype(np.float32)
+    sdf = rng.normal(size=(5, 8)).astype(np.float32)
+    new_sdf = rng.normal(size=(5, 4)).astype(np.float32)
+    z_m, sdf_m = merge_z_vals(
+        jnp.asarray(z), jnp.asarray(new_z), jnp.asarray(sdf), jnp.asarray(new_sdf)
+    )
+    z_m, sdf_m = np.asarray(z_m), np.asarray(sdf_m)
+    assert (np.diff(z_m, axis=-1) >= 0).all()
+    # the (z, sdf) pairing is preserved through the merge
+    pairs_in = {(round(float(a), 6), round(float(b), 6)) for a, b in
+                zip(np.concatenate([z, new_z], -1).ravel(),
+                    np.concatenate([sdf, new_sdf], -1).ravel())}
+    pairs_out = {(round(float(a), 6), round(float(b), 6)) for a, b in
+                 zip(z_m.ravel(), sdf_m.ravel())}
+    assert pairs_in == pairs_out
+
+
+def test_merge_z_vals_last_round():
+    z = jnp.asarray([[0.0, 0.5, 1.0]])
+    new_z = jnp.asarray([[0.25, 0.75]])
+    z_m, sdf_m = merge_z_vals(z, new_z, None, None)
+    np.testing.assert_allclose(np.asarray(z_m), [[0.0, 0.25, 0.5, 0.75, 1.0]])
+    assert sdf_m is None

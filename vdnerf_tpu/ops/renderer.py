@@ -1,0 +1,400 @@
+"""NeuS volume renderer: hierarchical sampling + logistic-CDF compositing.
+
+Functional JAX rebuild of the reference's ``NeuSRenderer``
+(``dpt_models/renderer.py:77-439``) with identical math (all epsilons,
+perturbation rules, cos-annealing, inside/relaxed spheres, background
+blending) but restructured for XLA: static shapes, a Python-unrolled
+up-sampling schedule, batched network evals, and a fused
+value+gradient+feature SDF query.
+
+Everything here jits; callers wrap it in ``jax.jit`` / ``shard_map``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vdnerf_tpu.models.fields import (
+    NeRFConfig,
+    RenderConfig,
+    SDFConfig,
+    nerf_apply,
+    render_net_apply,
+    sdf_value,
+    sdf_value_grad_feat,
+    variance_apply,
+)
+from vdnerf_tpu.ops.sampling import merge_z_vals, sample_pdf, up_sample
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererConfig:
+    """Sampling budget (reference confs/*.conf `model.neus_renderer`)."""
+
+    n_samples: int = 64
+    n_importance: int = 64
+    n_outside: int = 32
+    up_sample_steps: int = 4
+    perturb: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class NeuSNetworks:
+    """Static network configuration bundle (hashable -> jit-static)."""
+
+    sdf: SDFConfig
+    color: RenderConfig
+    nerf: NeRFConfig
+    renderer: RendererConfig
+    depth: RenderConfig | None = None
+
+
+def render_core_outside(
+    nets: NeuSNetworks,
+    params: Params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    z_vals: jax.Array,
+    sample_dist: float,
+    background_rgb: jax.Array | None = None,
+) -> dict[str, jax.Array | None]:
+    """Background NeRF over inverted-sphere coordinates
+    (reference renderer.py:100-145)."""
+    batch_size, n_samples = z_vals.shape
+
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], sample_dist)], axis=-1
+    )
+    mid_z_vals = z_vals + dists * 0.5
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z_vals[..., :, None]
+    dis_to_center = jnp.clip(
+        jnp.linalg.norm(pts, axis=-1, keepdims=True), 1.0, 1e10
+    )
+    # (x/r, 1/r): the NeRF++ inverted-sphere parameterization
+    pts4 = jnp.concatenate([pts / dis_to_center, 1.0 / dis_to_center], axis=-1)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+
+    pts_flat = pts4.reshape(-1, 3 + int(nets.renderer.n_outside > 0))
+    dirs_flat = dirs.reshape(-1, 3)
+
+    density, sampled_color, sampled_feat = nerf_apply(
+        nets.nerf, params["nerf"], pts_flat, dirs_flat
+    )
+    alpha = 1.0 - jnp.exp(
+        -jax.nn.softplus(density.reshape(batch_size, n_samples)) * dists
+    )
+    trans = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones((batch_size, 1), dtype=alpha.dtype), 1.0 - alpha + 1e-7],
+            axis=-1,
+        ),
+        axis=-1,
+    )[:, :-1]
+    weights = alpha * trans
+    sampled_color = sampled_color.reshape(batch_size, n_samples, -1)
+    color = jnp.sum(weights[:, :, None] * sampled_color, axis=1)
+    if background_rgb is not None:
+        color = color + background_rgb * (
+            1.0 - jnp.sum(weights, axis=-1, keepdims=True)
+        )
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+
+    if nets.depth is not None and sampled_feat is not None:
+        sampled_feat = sampled_feat.reshape(batch_size, n_samples, -1)
+    return {
+        "color": color,
+        "sampled_feat": sampled_feat,
+        "sampled_color": sampled_color,
+        "alpha": alpha,
+        "weights": weights,
+        "z_vals": mid_z_vals,
+        "depth_map": depth_map,
+    }
+
+
+def render_core(
+    nets: NeuSNetworks,
+    params: Params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    z_vals: jax.Array,
+    sample_dist: float,
+    depth_before_color: bool = False,
+    background_alpha: jax.Array | None = None,
+    background_sampled_feat: jax.Array | None = None,
+    background_sampled_color: jax.Array | None = None,
+    background_rgb: jax.Array | None = None,
+    cos_anneal_ratio: float | jax.Array = 0.0,
+) -> dict[str, jax.Array | None]:
+    """SDF-based alpha compositing core (reference renderer.py:209-330)."""
+    batch_size, n_samples = z_vals.shape
+
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], sample_dist)], axis=-1
+    )
+    mid_z_vals = z_vals + dists * 0.5
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z_vals[..., :, None]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+    pts_flat = pts.reshape(-1, 3)
+    dirs_flat = dirs.reshape(-1, 3)
+
+    sdf, gradients, feature_vector = sdf_value_grad_feat(
+        nets.sdf, params["sdf"], pts_flat
+    )
+
+    sampled_feat = None
+    if nets.depth is not None:
+        sampled_feat_flat = render_net_apply(
+            nets.depth, params["depth"], pts_flat, gradients, dirs_flat,
+            feature_vector,
+        )
+        if depth_before_color:
+            feature_vector = jnp.concatenate(
+                [feature_vector, sampled_feat_flat], axis=-1
+            )
+        sampled_feat = sampled_feat_flat.reshape(batch_size, n_samples, -1)
+
+    sampled_color = render_net_apply(
+        nets.color, params["color"], pts_flat, gradients, dirs_flat,
+        feature_vector,
+    ).reshape(batch_size, n_samples, -1)
+
+    inv_s = jnp.clip(variance_apply(params["variance"]), 1e-6, 1e6)
+
+    true_cos = jnp.sum(dirs_flat * gradients, axis=-1, keepdims=True)
+    # anneal keeps the cos "not dead" early in training (non-positive always)
+    iter_cos = -(
+        jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+        + jax.nn.relu(-true_cos) * cos_anneal_ratio
+    )
+
+    dists_flat = dists.reshape(-1, 1)
+    estimated_next_sdf = sdf + iter_cos * dists_flat * 0.5
+    estimated_prev_sdf = sdf - iter_cos * dists_flat * 0.5
+    prev_cdf = jax.nn.sigmoid(estimated_prev_sdf * inv_s)
+    next_cdf = jax.nn.sigmoid(estimated_next_sdf * inv_s)
+    p = prev_cdf - next_cdf
+    c = prev_cdf
+
+    alpha = jnp.clip(
+        ((p + 1e-5) / (c + 1e-5)).reshape(batch_size, n_samples), 0.0, 1.0
+    )
+
+    pts_norm = jnp.linalg.norm(pts_flat, axis=-1).reshape(batch_size, n_samples)
+    inside_sphere = jax.lax.stop_gradient((pts_norm < 1.0).astype(alpha.dtype))
+    relax_inside_sphere = jax.lax.stop_gradient(
+        (pts_norm < 1.2).astype(alpha.dtype)
+    )
+
+    if background_alpha is not None:
+        alpha = alpha * inside_sphere + background_alpha[:, :n_samples] * (
+            1.0 - inside_sphere
+        )
+        alpha = jnp.concatenate([alpha, background_alpha[:, n_samples:]], axis=-1)
+        sampled_color = (
+            sampled_color * inside_sphere[:, :, None]
+            + background_sampled_color[:, :n_samples]
+            * (1.0 - inside_sphere)[:, :, None]
+        )
+        sampled_color = jnp.concatenate(
+            [sampled_color, background_sampled_color[:, n_samples:]], axis=1
+        )
+        if nets.depth is not None:
+            sampled_feat = (
+                sampled_feat * inside_sphere[:, :, None]
+                + background_sampled_feat[:, :n_samples]
+                * (1.0 - inside_sphere)[:, :, None]
+            )
+            sampled_feat = jnp.concatenate(
+                [sampled_feat, background_sampled_feat[:, n_samples:]], axis=1
+            )
+
+    trans = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones((batch_size, 1), dtype=alpha.dtype), 1.0 - alpha + 1e-7],
+            axis=-1,
+        ),
+        axis=-1,
+    )[:, :-1]
+    weights = alpha * trans
+    weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
+
+    color = jnp.sum(sampled_color * weights[:, :, None], axis=1)
+    d_feats = None
+    if nets.depth is not None:
+        d_feats = jnp.sum(sampled_feat * weights[:, :, None], axis=1)
+    if background_rgb is not None:
+        color = color + background_rgb * (1.0 - weights_sum)
+
+    gradient_error = (
+        jnp.linalg.norm(gradients.reshape(batch_size, n_samples, 3), axis=-1)
+        - 1.0
+    ) ** 2
+    gradient_error = jnp.sum(relax_inside_sphere * gradient_error) / (
+        jnp.sum(relax_inside_sphere) + 1e-5
+    )
+
+    return {
+        "d_feats": d_feats,
+        "color": color,
+        "sdf": sdf,
+        "dists": dists,
+        "gradients": gradients.reshape(batch_size, n_samples, 3),
+        "s_val": 1.0 / inv_s,
+        "mid_z_vals": mid_z_vals,
+        "weights": weights,
+        "cdf": c.reshape(batch_size, n_samples),
+        "gradient_error": gradient_error,
+        "inside_sphere": inside_sphere,
+    }
+
+
+def render(
+    nets: NeuSNetworks,
+    params: Params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    near: jax.Array,
+    far: jax.Array,
+    key: jax.Array | None = None,
+    perturb_overwrite: int = -1,
+    background_rgb: jax.Array | None = None,
+    cos_anneal_ratio: float | jax.Array = 0.0,
+    depth_before_color: bool = False,
+) -> dict[str, jax.Array | None]:
+    """Full NeuS render of a ray batch (reference renderer.py:332-439).
+
+    rays_o/rays_d: [N, 3]; near/far: [N, 1]. ``key`` drives the sample-jitter
+    randomness (required when perturb > 0).
+    """
+    rcfg = nets.renderer
+    batch_size = rays_o.shape[0]
+    sample_dist = 2.0 / rcfg.n_samples  # region of interest: unit sphere
+    z_vals = jnp.linspace(0.0, 1.0, rcfg.n_samples)
+    z_vals = near + (far - near) * z_vals[None, :]
+
+    z_vals_outside = None
+    if rcfg.n_outside > 0:
+        z_vals_outside = jnp.linspace(
+            1e-3, 1.0 - 1.0 / (rcfg.n_outside + 1.0), rcfg.n_outside
+        )
+
+    n_samples = rcfg.n_samples
+    perturb = rcfg.perturb
+    if perturb_overwrite >= 0:
+        perturb = perturb_overwrite
+    if perturb > 0:
+        assert key is not None, "perturbed rendering needs a PRNG key"
+        key, k1, k2 = jax.random.split(key, 3)
+        t_rand = jax.random.uniform(k1, (batch_size, 1)) - 0.5
+        z_vals = z_vals + t_rand * 2.0 / rcfg.n_samples
+
+        if rcfg.n_outside > 0:
+            mids = 0.5 * (z_vals_outside[..., 1:] + z_vals_outside[..., :-1])
+            upper = jnp.concatenate([mids, z_vals_outside[..., -1:]], axis=-1)
+            lower = jnp.concatenate([z_vals_outside[..., :1], mids], axis=-1)
+            t_rand = jax.random.uniform(k2, (batch_size, rcfg.n_outside))
+            z_vals_outside = (
+                lower[None, :] + (upper - lower)[None, :] * t_rand
+            )
+
+    if rcfg.n_outside > 0:
+        z_vals_outside = (
+            far / jnp.flip(z_vals_outside, axis=-1) + 1.0 / rcfg.n_samples
+        )
+
+    background_alpha = None
+    background_sampled_color = None
+    background_sampled_feat = None
+    background_zvals = None
+
+    # hierarchical, SDF-guided up-sampling (gradient-free)
+    if rcfg.n_importance > 0:
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
+        sdf = jax.lax.stop_gradient(
+            sdf_value(nets.sdf, params["sdf"], pts.reshape(-1, 3))
+        ).reshape(batch_size, rcfg.n_samples)
+        z_vals_up = jax.lax.stop_gradient(z_vals)
+
+        per_round = rcfg.n_importance // rcfg.up_sample_steps
+        for i in range(rcfg.up_sample_steps):
+            new_z_vals = up_sample(
+                rays_o, rays_d, z_vals_up, sdf, per_round, 64 * 2**i
+            )
+            last = i + 1 == rcfg.up_sample_steps
+            new_sdf = None
+            if not last:
+                new_pts = (
+                    rays_o[:, None, :]
+                    + rays_d[:, None, :] * new_z_vals[..., :, None]
+                )
+                new_sdf = jax.lax.stop_gradient(
+                    sdf_value(nets.sdf, params["sdf"], new_pts.reshape(-1, 3))
+                ).reshape(batch_size, per_round)
+            z_vals_up, sdf = merge_z_vals(
+                z_vals_up, new_z_vals, None if last else sdf, new_sdf
+            )
+        z_vals = z_vals_up
+        n_samples = rcfg.n_samples + rcfg.n_importance
+
+    # background model over sorted union of inside + outside samples
+    if rcfg.n_outside > 0:
+        z_vals_feed = jnp.sort(
+            jnp.concatenate([z_vals, z_vals_outside], axis=-1), axis=-1
+        )
+        ret_outside = render_core_outside(
+            nets, params, rays_o, rays_d, z_vals_feed, sample_dist
+        )
+        background_sampled_feat = ret_outside["sampled_feat"]
+        background_sampled_color = ret_outside["sampled_color"]
+        background_alpha = ret_outside["alpha"]
+        background_zvals = ret_outside["z_vals"]
+
+    ret_fine = render_core(
+        nets,
+        params,
+        rays_o,
+        rays_d,
+        z_vals,
+        sample_dist,
+        depth_before_color=depth_before_color,
+        background_rgb=background_rgb,
+        background_alpha=background_alpha,
+        background_sampled_feat=background_sampled_feat,
+        background_sampled_color=background_sampled_color,
+        cos_anneal_ratio=cos_anneal_ratio,
+    )
+
+    weights = ret_fine["weights"]
+    weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
+    s_val = jnp.mean(
+        jnp.broadcast_to(ret_fine["s_val"], (batch_size, 1)), axis=-1,
+        keepdims=True,
+    )
+    z_vals_out = ret_fine["mid_z_vals"]
+    if background_zvals is not None:
+        z_vals_out = background_zvals
+
+    return {
+        "render_feats": ret_fine["d_feats"],
+        "color_fine": ret_fine["color"],
+        "s_val": s_val,
+        "cdf_fine": ret_fine["cdf"],
+        "weight_sum": weights_sum,
+        "weight_max": jnp.max(weights, axis=-1, keepdims=True),
+        "gradients": ret_fine["gradients"],
+        "weights": weights,
+        "z_vals": z_vals_out,
+        "gradient_error": ret_fine["gradient_error"],
+        "inside_sphere": ret_fine["inside_sphere"],
+    }

@@ -1,0 +1,134 @@
+"""Ray-sampling primitives: inverse-CDF sampling and SDF-guided up-sampling.
+
+Capability parity with the reference renderer's sampling stack
+(``dpt_models/renderer.py``):
+
+- :func:`sample_pdf`  <-> renderer.py:44-74 (NeRF inverse-CDF sampling)
+- :func:`up_sample`   <-> renderer.py:147-191 (section-wise logistic-CDF
+  importance weights from midpoint SDF +- cos * dist / 2, min(cos, prev_cos)
+  robustification, inside-sphere gating)
+- :func:`merge_z_vals` <-> renderer.py:193-207 (cat + sort + sdf gather)
+
+All shapes are static: the up-sampling schedule 64 -> 80 -> 96 -> 112 -> 128
+unrolls into a fixed sequence of batched ops that XLA compiles once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_pdf(
+    bins: jax.Array,
+    weights: jax.Array,
+    n_samples: int,
+    key: jax.Array | None = None,
+    det: bool = False,
+) -> jax.Array:
+    """Inverse-CDF sample ``n_samples`` new positions per ray.
+
+    bins: [N, S] sorted positions; weights: [N, S-1] section weights.
+    Deterministic mode uses the midpoint grid u in (0, 1); stochastic mode
+    draws u ~ U(0,1) from ``key``.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [N, S]
+
+    batch = cdf.shape[0]
+    if det:
+        u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, (batch, n_samples))
+    else:
+        assert key is not None, "stochastic sample_pdf needs a PRNG key"
+        u = jax.random.uniform(key, (batch, n_samples))
+
+    # searchsorted(cdf, u, side='right') per ray
+    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def up_sample(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    z_vals: jax.Array,
+    sdf: jax.Array,
+    n_importance: int,
+    inv_s: float,
+) -> jax.Array:
+    """One round of SDF-guided importance sampling at fixed sharpness inv_s.
+
+    Estimates a section alpha from the midpoint SDF linearly extrapolated by
+    the (robustified, non-positive) SDF slope, converts to transmittance
+    weights, and inverse-CDF samples ``n_importance`` new z positions.
+    Deterministic (det=True) as in the reference (renderer.py:190).
+    """
+    batch_size, n_samples = z_vals.shape
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
+    radius = jnp.linalg.norm(pts, axis=-1)
+    inside_sphere = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
+
+    prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
+    prev_z, next_z = z_vals[:, :-1], z_vals[:, 1:]
+    mid_sdf = (prev_sdf + next_sdf) * 0.5
+    cos_val = (next_sdf - prev_sdf) / (next_z - prev_z + 1e-5)
+
+    # use min(cos, prev_cos): robust against SDF zero-crossing double-dips
+    prev_cos = jnp.concatenate(
+        [jnp.zeros((batch_size, 1), dtype=cos_val.dtype), cos_val[:, :-1]], axis=-1
+    )
+    cos_val = jnp.minimum(prev_cos, cos_val)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside_sphere
+
+    dist = next_z - prev_z
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+
+    trans = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones((batch_size, 1), dtype=alpha.dtype), 1.0 - alpha + 1e-7],
+            axis=-1,
+        ),
+        axis=-1,
+    )[:, :-1]
+    weights = alpha * trans
+
+    z_samples = sample_pdf(z_vals, weights, n_importance, det=True)
+    return jax.lax.stop_gradient(z_samples)
+
+
+def merge_z_vals(
+    z_vals: jax.Array,
+    new_z_vals: jax.Array,
+    sdf: jax.Array | None,
+    new_sdf: jax.Array | None,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Merge two per-ray sample sets into sorted order, carrying SDF values.
+
+    Equivalent to the reference's cat + sort + gather (renderer.py:193-207),
+    done with one argsort shared by z and sdf.
+    """
+    z_all = jnp.concatenate([z_vals, new_z_vals], axis=-1)
+    order = jnp.argsort(z_all, axis=-1)
+    z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
+    if sdf is None:
+        return z_sorted, None
+    sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
+    sdf_sorted = jnp.take_along_axis(sdf_all, order, axis=-1)
+    return z_sorted, sdf_sorted
