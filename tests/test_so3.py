@@ -18,6 +18,23 @@ def test_exp_at_zero():
     np.testing.assert_allclose(R, np.eye(3), atol=1e-6)
 
 
+def test_exp_grad_finite_at_zero():
+    """Learned delta poses start at exactly r=0 (reference poses.py:35-36);
+    the exp-map gradient must be finite there."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(r):
+        return jnp.sum(so3.so3_exp(r) @ jnp.array([1.0, 2.0, 3.0]))
+
+    g = np.asarray(jax.grad(f)(jnp.zeros(3)))
+    assert np.isfinite(g).all()
+    # analytic: d(R v)/dr at r=0 is -skew(v); sum over rows
+    v = np.array([1.0, 2.0, 3.0])
+    expected = -np.asarray(so3.vec2skew(v)).sum(axis=0)
+    np.testing.assert_allclose(g, expected, atol=1e-5)
+
+
 def test_make_c2w(rng):
     r = rng.normal(size=3).astype(np.float32) * 0.3
     t = rng.normal(size=3).astype(np.float32)

@@ -1,0 +1,245 @@
+"""Synthetic scene generator: an analytically-rendered sphere dataset.
+
+Produces a directory in the exact on-disk layout the reference consumes
+(dataset.py:37-109): ``<data_dir>/<img_dir>/*.png`` RGBA images plus a
+``cameras_sphere.npz`` with per-image ``world_mat_<stem>`` / ``scale_mat_<stem>``
+keys. Used for end-to-end tests (train -> PSNR rises -> mesh ~= sphere)
+without any external capture data.
+
+The scene: a lambertian-ish sphere of radius ``radius`` at the origin,
+colored by its surface normal, viewed from cameras on a radius-``cam_dist``
+shell. Ground-truth geometry is known in closed form, so mesh extraction can
+be checked against an exact Chamfer distance.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    import cv2 as cv
+except ImportError:  # pragma: no cover
+    cv = None
+
+
+def look_at_pose(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """OpenCV-convention c2w (x right, y down, z forward)."""
+    forward = target - eye
+    forward = forward / np.linalg.norm(forward)
+    up_world = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(forward, up_world)) > 0.98:
+        up_world = np.array([0.0, 1.0, 0.0])
+    right = np.cross(forward, up_world)
+    right /= np.linalg.norm(right)
+    down = np.cross(forward, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = down
+    c2w[:3, 2] = forward
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def ray_sphere_hit(
+    rays_o: np.ndarray, rays_d: np.ndarray, radius: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest positive intersection depth + hit mask, vectorized."""
+    b = 2.0 * np.sum(rays_o * rays_d, axis=-1)
+    c = np.sum(rays_o**2, axis=-1) - radius**2
+    disc = b**2 - 4 * c
+    hit = disc > 0
+    t = (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0
+    hit &= t > 0
+    return t, hit
+
+
+def render_sphere_image(
+    c2w: np.ndarray, K: np.ndarray, H: int, W: int, radius: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Analytic RGBA render (uint8) + float depth of the normal-colored
+    sphere."""
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H))
+    p = np.stack([xs, ys, np.ones_like(xs)], axis=-1).astype(np.float64)
+    Kinv = np.linalg.inv(K[:3, :3])
+    d = p @ Kinv.T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = d @ c2w[:3, :3].T
+    o = np.broadcast_to(c2w[:3, 3], d.shape)
+
+    t, hit = ray_sphere_hit(o, d, radius)
+    pts = o + d * t[..., None]
+    normal = pts / max(radius, 1e-9)
+    color = (0.5 + 0.5 * normal).clip(0, 1)
+    rgba = np.zeros((H, W, 4), dtype=np.uint8)
+    rgba[..., :3] = (color * 255).astype(np.uint8)
+    rgba[..., :3][~hit] = 255
+    rgba[..., 3] = (hit * 255).astype(np.uint8)
+    depth = np.where(hit, t, 0.0).astype(np.float32)
+    return rgba, depth
+
+
+def make_synthetic_scene(
+    out_dir: str,
+    n_images: int = 8,
+    H: int = 64,
+    W: int = 64,
+    radius: float = 0.5,
+    cam_dist: float = 3.0,
+    focal: float = 80.0,
+    img_dir: str = "image",
+) -> dict:
+    """Write a full synthetic scene; returns its metadata dict."""
+    img_path = os.path.join(out_dir, img_dir)
+    os.makedirs(img_path, exist_ok=True)
+
+    K = np.eye(4, dtype=np.float64)
+    K[0, 0] = K[1, 1] = focal
+    K[0, 2] = W / 2.0
+    K[1, 2] = H / 2.0
+
+    cam_npz = {}
+    rng = np.random.default_rng(7)
+    poses = []
+    for i in range(n_images):
+        # spiral of viewpoints, poles avoided
+        theta = 2 * np.pi * i / n_images
+        phi = np.pi / 2 + (rng.uniform(-0.5, 0.5))
+        eye = cam_dist * np.array(
+            [np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi),
+             np.cos(phi)]
+        )
+        c2w = look_at_pose(eye, np.zeros(3))
+        poses.append(c2w)
+        rgba, _ = render_sphere_image(c2w, K, H, W, radius)
+        stem = f"{i:03d}"
+        cv.imwrite(os.path.join(img_path, f"{stem}.png"), rgba)
+
+        w2c = np.linalg.inv(c2w)
+        world_mat = (K @ w2c).astype(np.float32)
+        cam_npz[f"world_mat_{stem}"] = world_mat
+        cam_npz[f"scale_mat_{stem}"] = np.eye(4, dtype=np.float32)
+
+    np.savez(os.path.join(out_dir, img_dir, "cameras_sphere.npz"), **cam_npz)
+    # also at the data_dir root (conf convention: IMG_DIR/cameras_sphere.npz)
+    np.savez(os.path.join(out_dir, "cameras_sphere.npz"), **cam_npz)
+    return {
+        "data_dir": out_dir,
+        "img_dir": img_dir,
+        "n_images": n_images,
+        "H": H,
+        "W": W,
+        "radius": radius,
+        "poses": np.stack(poses),
+        "K": K,
+    }
+
+
+SYNTHETIC_CONF_TEMPLATE = """\
+general {{
+    base_exp_dir = {exp_dir}
+    recording = []
+}}
+
+dataset {{
+    data_dir = {data_dir}
+    img_dir = {img_dir}
+    depth_dir = 00
+    render_cameras_name = {img_dir}/cameras_sphere.npz
+    object_cameras_name = {img_dir}/cameras_sphere.npz
+}}
+
+train {{
+    learning_rate = 5e-4
+    learning_rate_alpha = 0.05
+    end_iter = {end_iter}
+
+    batch_size = {batch_size}
+    validate_resolution_level = 2
+    warm_up_end = 50
+    anneal_end = 100
+    use_white_bkgd = True
+
+    save_freq = 100000
+    val_freq = 100000
+    val_mesh_freq = 100000
+    report_freq = 50
+
+    igr_weight = 0.1
+    mask_weight = 0.0
+    use_mask = False
+
+    extract_depth = False
+    rgb_dims = 3
+}}
+
+model {{
+    nerf {{
+        D = 2,
+        d_in = 4,
+        d_in_view = 3,
+        W = 64,
+        multires = 4,
+        multires_view = 2,
+        output_ch = 4,
+        skips = [4],
+        rgb_dims = 3,
+        use_viewdirs = True,
+    }}
+
+    sdf_network {{
+        d_out = 65
+        d_in = 3
+        d_hidden = 64
+        n_layers = 4
+        skip_in = [2]
+        multires = 6
+        bias = 0.5
+        scale = 1.0
+        geometric_init = True
+        weight_norm = True
+    }}
+
+    variance_network {{
+        init_val = 0.3
+    }}
+
+    rendering_network {{
+        d_feature = 64
+        mode = idr
+        d_in = 9
+        d_out = 3
+        d_hidden = 64
+        n_layers = 2
+        weight_norm = True
+        multires_view = 4
+        squeeze_out = True
+    }}
+
+    neus_renderer {{
+        n_samples = 24
+        n_importance = 24
+        n_outside = 8
+        up_sample_steps = 4
+        perturb = 1.0
+    }}
+}}
+"""
+
+
+def write_synthetic_conf(
+    path: str,
+    data_dir: str,
+    exp_dir: str,
+    img_dir: str = "image",
+    end_iter: int = 200,
+    batch_size: int = 128,
+) -> str:
+    conf_text = SYNTHETIC_CONF_TEMPLATE.format(
+        data_dir=data_dir, exp_dir=exp_dir, img_dir=img_dir,
+        end_iter=end_iter, batch_size=batch_size,
+    )
+    with open(path, "w") as f:
+        f.write(conf_text)
+    return path

@@ -236,15 +236,19 @@ def render_core(
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
-    gradient_error = (
+    gradient_error_pt = (
         jnp.linalg.norm(gradients.reshape(batch_size, n_samples, 3), axis=-1)
         - 1.0
     ) ** 2
-    gradient_error = jnp.sum(relax_inside_sphere * gradient_error) / (
-        jnp.sum(relax_inside_sphere) + 1e-5
-    )
+    # numerator/denominator kept separate so data-parallel shards can psum
+    # them and reproduce the single-chip ratio exactly
+    gradient_error_num = jnp.sum(relax_inside_sphere * gradient_error_pt)
+    gradient_error_den = jnp.sum(relax_inside_sphere)
+    gradient_error = gradient_error_num / (gradient_error_den + 1e-5)
 
     return {
+        "gradient_error_num": gradient_error_num,
+        "gradient_error_den": gradient_error_den,
         "d_feats": d_feats,
         "color": color,
         "sdf": sdf,
@@ -388,6 +392,8 @@ def render(
     return {
         "render_feats": ret_fine["d_feats"],
         "color_fine": ret_fine["color"],
+        "gradient_error_num": ret_fine["gradient_error_num"],
+        "gradient_error_den": ret_fine["gradient_error_den"],
         "s_val": s_val,
         "cdf_fine": ret_fine["cdf"],
         "weight_sum": weights_sum,

@@ -1,0 +1,91 @@
+"""Typed training configuration, built from the HOCON ``train`` block.
+
+Mirrors the reference runner's conf consumption (dpt_runner.py:51-105) into
+one frozen dataclass that is hashable and therefore jit-static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from vdnerf_tpu.utils.hocon import Config
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 5e-4
+    learning_rate_alpha: float = 0.05
+    end_iter: int = 300_000
+    batch_size: int = 512
+    validate_resolution_level: int = 4
+    warm_up_end: int = 0
+    anneal_end: int = 0
+    use_white_bkgd: bool = True
+    save_freq: int = 10_000
+    val_freq: int = 5_000
+    val_mesh_freq: int = 10_000
+    report_freq: int = 500
+    igr_weight: float = 0.1
+    mask_weight: float = 0.0
+    use_mask: bool = False
+    # depth distillation (wdepth confs)
+    extract_depth: bool = False
+    depth_start_iter: int = 0
+    depth_weight: float = 0.0
+    only_depth: bool = False
+    depth_before_color: bool = False
+    rgb_dims: int = 3
+    depth_ramp_iters: int = 5_000  # sigmoid ramp span (dpt_runner.py:167-171)
+    # learned cameras (learn confs)
+    learnable: bool = False
+    focal_lr: float = 0.0
+    pose_lr: float = 0.0
+    focal_lr_gamma: float = 1.0
+    pose_lr_gamma: float = 1.0
+    step_size: int = 1
+    start_refine_pose_iter: int = 0
+    start_refine_focal_iter: int = 0
+
+    @classmethod
+    def from_conf(cls, conf: Config) -> "TrainConfig":
+        t = conf["train"]
+        extract_depth = t.get_bool("extract_depth", default=False)
+        learnable = t.get_bool("focal_learnable", default=False)
+        kw = dict(
+            learning_rate=t.get_float("learning_rate"),
+            learning_rate_alpha=t.get_float("learning_rate_alpha"),
+            end_iter=t.get_int("end_iter"),
+            batch_size=t.get_int("batch_size"),
+            validate_resolution_level=t.get_int("validate_resolution_level"),
+            warm_up_end=t.get_int("warm_up_end", default=0),
+            anneal_end=t.get_int("anneal_end", default=0),
+            use_white_bkgd=t.get_bool("use_white_bkgd"),
+            save_freq=t.get_int("save_freq"),
+            val_freq=t.get_int("val_freq"),
+            val_mesh_freq=t.get_int("val_mesh_freq"),
+            report_freq=t.get_int("report_freq"),
+            igr_weight=t.get_float("igr_weight"),
+            mask_weight=t.get_float("mask_weight"),
+            use_mask=t.get_bool("use_mask", default=False),
+            extract_depth=extract_depth,
+            rgb_dims=t.get_int("rgb_dims", default=3) if extract_depth else 3,
+            learnable=learnable,
+        )
+        if extract_depth:
+            kw.update(
+                only_depth=t.get_bool("only_depth", default=False),
+                depth_before_color=t.get_bool("depth_before_color", default=False),
+                depth_start_iter=t.get_int("depth_start_iter"),
+                depth_weight=t.get_float("depth_weight", default=0.0),
+            )
+        if learnable:
+            kw.update(
+                focal_lr=t.get_float("focal_lr"),
+                pose_lr=t.get_float("pose_lr"),
+                focal_lr_gamma=t.get_float("focal_lr_gamma"),
+                pose_lr_gamma=t.get_float("pose_lr_gamma"),
+                step_size=t.get_int("step_size"),
+                start_refine_pose_iter=t.get_int("start_refine_pose_iter"),
+                start_refine_focal_iter=t.get_int("start_refine_focal_iter"),
+            )
+        return cls(**kw)

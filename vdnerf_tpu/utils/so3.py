@@ -30,17 +30,22 @@ def vec2skew(v: jax.Array) -> jax.Array:
 def so3_exp(r: jax.Array) -> jax.Array:
     """so(3) axis-angle [..., 3] -> SO(3) matrices [..., 3, 3] (Rodrigues).
 
-    Matches the reference's ``Exp`` (lie_group_helper.py:60-69) including the
-    1e-15 norm epsilon, but is batched and differentiable at r = 0.
+    Matches the reference's ``Exp`` (lie_group_helper.py:60-69), but is
+    batched and — unlike a plain ``norm`` — differentiable at r = 0: learned
+    delta poses start at exactly zero (poses.py:35-36), and d|r|/dr is NaN
+    there, so the norm is computed as sqrt(|r|^2 + eps).
     """
     skew = vec2skew(r)
-    theta = jnp.linalg.norm(r, axis=-1)[..., None, None] + 1e-15
+    sq = jnp.sum(r * r, axis=-1)[..., None, None]
+    # double-where: the untaken branch must not produce inf/NaN in the
+    # backward pass (theta powers underflow fp32 near zero)
+    small = sq < 1e-8
+    safe_sq = jnp.where(small, 1.0, sq)
+    theta = jnp.sqrt(safe_sq)
+    A = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - sq / 24.0, (1.0 - jnp.cos(theta)) / safe_sq)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), skew.shape)
-    return (
-        eye
-        + (jnp.sin(theta) / theta) * skew
-        + ((1.0 - jnp.cos(theta)) / theta**2) * (skew @ skew)
-    )
+    return eye + A * skew + B * (skew @ skew)
 
 
 def make_c2w(r: jax.Array, t: jax.Array) -> jax.Array:
