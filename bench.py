@@ -1,0 +1,113 @@
+"""Training-throughput benchmark: rays/sec/chip on the flagship NeuS model.
+
+Runs the full womsk_white.conf-size training step (512-ray reference batch
+and a TPU-efficient larger batch), measures steady-state rays/sec on the
+available chip, and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "rays/sec/chip", "vs_baseline": N}
+
+Baseline: the torch reference trains 512 rays/iter; public NeuS-family
+training runs at roughly 5 it/s on a single consumer GPU (300k iters in
+~14-18h), i.e. ~2.5-3k rays/sec. vs_baseline is computed against 3000
+rays/sec (the generous end). The reference repo itself publishes no numbers
+(BASELINE.md), so this is the documented stand-in.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+TORCH_BASELINE_RAYS_PER_SEC = 3000.0
+
+
+def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 20):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _full_size_setup
+    from vdnerf_tpu.train import SceneStatic, TrainConfig, init_state
+    from vdnerf_tpu.train.step import make_train_step
+
+    nets, params, _ = _full_size_setup(batch=batch_size, small=False)
+    tcfg = TrainConfig(batch_size=batch_size)
+    H = W = 512
+    n_images = 4
+    poses = jnp.tile(jnp.eye(4)[None], (n_images, 1, 1)).at[:, 2, 3].set(-3.0)
+    K = jnp.eye(4).at[0, 0].set(500.0).at[1, 1].set(500.0)
+    K = K.at[0, 2].set(W / 2).at[1, 2].set(H / 2)
+    cams = {
+        "pose_all": poses,
+        "intrin_inv_all": jnp.tile(jnp.linalg.inv(K)[None], (n_images, 1, 1)),
+    }
+    scene = SceneStatic(H=H, W=W)
+    state = init_state(params, tcfg, cams, jax.random.PRNGKey(0))
+    step_fn = jax.jit(make_train_step(nets, tcfg, scene))
+
+    rng = np.random.default_rng(0)
+
+    def make_batch():
+        return {
+            "img_idx": np.int32(0),
+            "pixels_x": rng.integers(0, W, batch_size).astype(np.int32),
+            "pixels_y": rng.integers(0, H, batch_size).astype(np.int32),
+            "color": rng.uniform(0, 1, (batch_size, 3)).astype(np.float32),
+            "mask": np.ones((batch_size, 1), np.float32),
+            "feats": np.zeros((batch_size, 1), np.float32),
+        }
+
+    batch = make_batch()
+    for _ in range(n_warmup):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    rays_per_sec = batch_size * n_steps / dt
+    return rays_per_sec, dt / n_steps
+
+
+def main():
+    import jax
+
+    results = {}
+    for batch in (512, 4096):
+        try:
+            rps, step_time = bench_train(batch)
+            results[batch] = (rps, step_time)
+            print(
+                f"[bench] batch={batch}: {rps:,.0f} rays/s "
+                f"({step_time*1e3:.1f} ms/step) on {jax.devices()[0]}",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] batch={batch} failed: {e}", file=sys.stderr)
+
+    if not results:
+        raise SystemExit("bench failed for all batch sizes")
+
+    best_batch, (best, _) = max(results.items(), key=lambda kv: kv[1][0])
+    n_chips = len(jax.devices())
+    per_chip = best / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "train rays/sec/chip, full womsk_white model "
+                    f"(best batch={best_batch})"
+                ),
+                "value": round(per_chip, 1),
+                "unit": "rays/sec/chip",
+                "vs_baseline": round(per_chip / TORCH_BASELINE_RAYS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

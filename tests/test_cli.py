@@ -1,0 +1,61 @@
+"""CLI regression: every runner mode end-to-end on a tiny synthetic scene."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vdnerf_tpu.data.synthetic import make_synthetic_scene, write_synthetic_conf
+
+
+@pytest.fixture(scope="module")
+def scene_conf(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_scene"))
+    make_synthetic_scene(d, n_images=3, H=32, W=32)
+    conf = os.path.join(d, "synthetic.conf")
+    write_synthetic_conf(
+        conf, data_dir=d, exp_dir=os.path.join(d, "exp"),
+        end_iter=10, batch_size=64, save_freq=5, val_freq=5, val_mesh_freq=10,
+    )
+    return d, conf
+
+
+def test_cli_train_then_eval_modes(scene_conf):
+    d, conf = scene_conf
+    from vdnerf_tpu.cli import main
+
+    main(["--conf", conf, "--mode", "train"])
+    exp = os.path.join(d, "exp")
+    assert os.path.exists(os.path.join(exp, "checkpoints", "ckpt_000010.npz"))
+    assert os.path.exists(os.path.join(exp, "meshes", "00000010.ply"))
+    assert os.listdir(os.path.join(exp, "validations_fine"))
+    assert os.path.exists(os.path.join(exp, "logs", "metrics.jsonl"))
+
+    # resume (-c) picks the latest checkpoint and trains 0 more steps
+    main(["--conf", conf, "--mode", "valimg_10"])
+
+    main(["--conf", conf, "--mode", "getfeats_10"])
+    feats_dir = os.path.join(d, "image", "depth_from_sdf")
+    files = os.listdir(feats_dir)
+    assert len(files) == 3
+    depth = np.load(os.path.join(feats_dir, files[0]))
+    assert depth.shape == (32, 32, 1)
+    assert np.isfinite(depth).all()
+
+    main(["--conf", conf, "--mode", "showcam_10"])
+    assert os.listdir(os.path.join(exp, "cam_poses"))
+
+
+def test_cli_interpolate(scene_conf):
+    d, conf = scene_conf
+    from vdnerf_tpu.train.validate import interpolate_frames
+    from vdnerf_tpu.runner import Runner
+
+    runner = Runner(conf, mode="interpolate_0_1", is_continue=True)
+    frames = interpolate_frames(
+        runner.renderer, runner.state["params"], runner.state["cams"],
+        0, 1, n_frames=2, resolution_level=4,
+    )
+    assert len(frames) == 4
+    assert frames[0].shape == (8, 8, 3)
+    assert frames[0].dtype == np.uint8

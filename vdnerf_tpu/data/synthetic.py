@@ -161,9 +161,9 @@ train {{
     anneal_end = 100
     use_white_bkgd = True
 
-    save_freq = 100000
-    val_freq = 100000
-    val_mesh_freq = 100000
+    save_freq = {save_freq}
+    val_freq = {val_freq}
+    val_mesh_freq = {val_mesh_freq}
     report_freq = 50
 
     igr_weight = 0.1
@@ -235,10 +235,14 @@ def write_synthetic_conf(
     img_dir: str = "image",
     end_iter: int = 200,
     batch_size: int = 128,
+    save_freq: int = 100000,
+    val_freq: int = 100000,
+    val_mesh_freq: int = 100000,
 ) -> str:
     conf_text = SYNTHETIC_CONF_TEMPLATE.format(
         data_dir=data_dir, exp_dir=exp_dir, img_dir=img_dir,
-        end_iter=end_iter, batch_size=batch_size,
+        end_iter=end_iter, batch_size=batch_size, save_freq=save_freq,
+        val_freq=val_freq, val_mesh_freq=val_mesh_freq,
     )
     with open(path, "w") as f:
         f.write(conf_text)

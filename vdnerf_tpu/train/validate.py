@@ -1,0 +1,236 @@
+"""Full-image rendering, validation metrics, depth export, novel views.
+
+Capability parity with the reference's validation stack:
+
+- :class:`ImageRenderer` — chunked full-image render (reference
+  dpt_runner.py:520-587): rays in static-size chunks through one jitted
+  render, RGB + world-space normal maps (sum of weight-composited SDF
+  gradients, camera-rotated).
+- :func:`val_image_metrics` — masked/unmasked L1 + PSNR per image
+  (dpt_runner.py:417-491).
+- depth-from-SDF export for the VDN cycle (``getfeats`` mode,
+  dpt_runner.py:449-473): per-ray argmax-weight sample depth ->
+  ``depth_from_sdf/sdf_<stem>.npy`` + percentile-normalized weight PNG.
+- :func:`interpolate_frames` — 60-frame slerp novel-view sweep
+  (dpt_runner.py:715-738).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdnerf_tpu.data.cameras import (
+    all_learned_c2w,
+    learn_intrin_K,
+    rays_between,
+    rays_grid,
+)
+from vdnerf_tpu.data.dataset import near_far_from_sphere
+from vdnerf_tpu.ops.renderer import NeuSNetworks, render
+from vdnerf_tpu.train.config import TrainConfig
+from vdnerf_tpu.train.step import SceneStatic, cos_anneal_ratio
+
+
+class ImageRenderer:
+    """Chunked full-image renders with a single compiled chunk program."""
+
+    def __init__(
+        self,
+        nets: NeuSNetworks,
+        tcfg: TrainConfig,
+        scene: SceneStatic,
+        chunk: int | None = None,
+    ):
+        self.nets = nets
+        self.tcfg = tcfg
+        self.scene = scene
+        self.chunk = chunk or tcfg.batch_size
+
+        @partial(jax.jit, static_argnames=())
+        def _render_chunk(params, rays_o, rays_d, anneal):
+            near, far = near_far_from_sphere(rays_o, rays_d)
+            background_rgb = (
+                jnp.ones((1, 3), jnp.float32) if tcfg.use_white_bkgd else None
+            )
+            out = render(
+                nets, params, rays_o, rays_d, near, far,
+                perturb_overwrite=0,
+                background_rgb=background_rgb,
+                cos_anneal_ratio=anneal,
+                depth_before_color=tcfg.depth_before_color,
+            )
+            n_total = nets.renderer.n_samples + nets.renderer.n_importance
+            inside = out["inside_sphere"]
+            normals = jnp.sum(
+                out["gradients"]
+                * out["weights"][:, :n_total, None]
+                * inside[..., None],
+                axis=1,
+            )
+            w_inside = out["weights"][:, : inside.shape[1]] * inside
+            argmax_w = jnp.argmax(w_inside, axis=-1)
+            weight_depth = jnp.take_along_axis(
+                out["z_vals"], argmax_w[:, None], axis=-1
+            )
+            return {
+                "color": out["color_fine"],
+                "normals": normals,
+                "weight_depth": weight_depth,
+                "grad_err_num": out["gradient_error_num"],
+                "grad_err_den": out["gradient_error_den"],
+            }
+
+        self._render_chunk = _render_chunk
+
+    def resolve_cams(self, cams: dict) -> tuple[np.ndarray, np.ndarray]:
+        """-> (pose_all [n,4,4], intrin_inv [4,4] or [n,4,4])."""
+        if self.scene.learnable:
+            poses = np.asarray(all_learned_c2w(cams["pose"], cams["init_c2w"]))
+            K = learn_intrin_K(
+                cams["focal"], self.scene.H, self.scene.W,
+                self.scene.focal_order,
+            )
+            intrin_inv = np.asarray(jnp.linalg.inv(K))
+            intrin_inv = np.broadcast_to(
+                intrin_inv, (poses.shape[0], 4, 4)
+            )
+            return poses, intrin_inv
+        return np.asarray(cams["pose_all"]), np.asarray(cams["intrin_inv_all"])
+
+    def render_rays(self, params, rays_o, rays_d, step: int = 0) -> dict:
+        """Render [M, 3] rays in fixed-size chunks -> stacked numpy dict."""
+        anneal = float(
+            np.minimum(1.0, step / self.tcfg.anneal_end)
+            if self.tcfg.anneal_end > 0
+            else 1.0
+        )
+        m = rays_o.shape[0]
+        outs = {"color": [], "normals": [], "weight_depth": []}
+        grad_num = grad_den = 0.0
+        for start in range(0, m, self.chunk):
+            stop = min(start + self.chunk, m)
+            ro = rays_o[start:stop]
+            rd = rays_d[start:stop]
+            n = ro.shape[0]
+            if n < self.chunk:  # pad to static shape
+                pad = self.chunk - n
+                ro = jnp.concatenate([ro, jnp.ones((pad, 3))], axis=0)
+                rd = jnp.concatenate(
+                    [rd, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))],
+                    axis=0,
+                )
+            out = self._render_chunk(params, ro, rd, anneal)
+            for k in outs:
+                outs[k].append(np.asarray(out[k])[:n])
+            grad_num += float(out["grad_err_num"])
+            grad_den += float(out["grad_err_den"])
+        result = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+        result["gradient_error"] = grad_num / (grad_den + 1e-5)
+        return result
+
+    def render_image(
+        self, params, cams: dict, idx: int, resolution_level: int = 1,
+        step: int = 0,
+    ) -> dict:
+        poses, intrin_inv = self.resolve_cams(cams)
+        rays_o, rays_d = rays_grid(
+            jnp.asarray(poses[idx]), jnp.asarray(intrin_inv[idx]),
+            self.scene.H, self.scene.W, resolution_level,
+        )
+        h, w = rays_o.shape[:2]
+        out = self.render_rays(
+            params, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), step
+        )
+        img = out["color"].reshape(h, w, -1)
+        normals = out["normals"]
+        # rotate world normals into the camera frame (dpt_runner.py:568-570)
+        rot = np.linalg.inv(poses[idx][:3, :3])
+        normal_img = (rot @ normals[..., None]).reshape(h, w, 3)
+        return {
+            "img": img,
+            "normal": normal_img,
+            "weight_depth": out["weight_depth"].reshape(h, w, 1),
+            "gradient_error": out["gradient_error"],
+        }
+
+    def render_between(
+        self, params, cams: dict, idx0: int, idx1: int, ratio: float,
+        resolution_level: int = 4, step: int = 0,
+    ) -> np.ndarray:
+        poses, intrin_inv = self.resolve_cams(cams)
+        rays_o, rays_d = rays_between(
+            jnp.asarray(poses[idx0]), jnp.asarray(poses[idx1]),
+            jnp.asarray(intrin_inv[0]), ratio,
+            self.scene.H, self.scene.W, resolution_level,
+        )
+        h, w = rays_o.shape[:2]
+        out = self.render_rays(
+            params, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), step
+        )
+        return out["color"].reshape(h, w, -1)
+
+
+def val_image_metrics(
+    img: np.ndarray, gt: np.ndarray, mask: np.ndarray
+) -> tuple[float, float]:
+    """(L1 loss, PSNR) under a [H,W,1] mask (dpt_runner.py:476-489)."""
+    mask_sum = mask.sum() + 1e-5
+    l1 = np.abs((img - gt) * mask).sum() / mask_sum
+    mse = ((img - gt) ** 2 * mask).sum() / (mask_sum * 3.0)
+    psnr = 20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-12)))
+    return float(l1), float(psnr)
+
+
+def export_depth_from_sdf(
+    weight_depth: np.ndarray,
+    out_npy_path: str,
+    weight_png_path: str | None = None,
+) -> None:
+    """Save per-pixel argmax-weight depth (the VDN cycle interface,
+    dpt_runner.py:459-473)."""
+    os.makedirs(os.path.dirname(out_npy_path), exist_ok=True)
+    np.save(out_npy_path, weight_depth)
+    if weight_png_path is not None:
+        try:
+            import cv2 as cv
+        except ImportError:
+            return
+        lb, ub = np.percentile(weight_depth, [50, 95])
+        png = ((weight_depth - lb) / max(ub - lb, 1e-9) * 255).clip(0, 255)
+        os.makedirs(os.path.dirname(weight_png_path), exist_ok=True)
+        cv.imwrite(weight_png_path, png)
+
+
+def interpolate_frames(
+    renderer: ImageRenderer, params, cams: dict, idx0: int, idx1: int,
+    n_frames: int = 60, resolution_level: int = 4, step: int = 0,
+) -> list[np.ndarray]:
+    """Forward+reverse slerp sweep frames as uint8 BGR
+    (dpt_runner.py:715-725)."""
+    frames = []
+    for i in range(n_frames):
+        ratio = np.sin(((i / n_frames) - 0.5) * np.pi) * 0.5 + 0.5
+        img = renderer.render_between(
+            params, cams, idx0, idx1, float(ratio), resolution_level, step
+        )
+        frames.append((img * 256).clip(0, 255).astype(np.uint8))
+    frames += frames[::-1]
+    return frames
+
+
+def write_video(path: str, frames: list[np.ndarray], fps: int = 30) -> None:
+    import cv2 as cv
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    h, w = frames[0].shape[:2]
+    writer = cv.VideoWriter(
+        path, cv.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    for fr in frames:
+        writer.write(fr)
+    writer.release()
