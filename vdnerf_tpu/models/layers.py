@@ -61,6 +61,12 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
         w = p["v"] * (p["g"][None, :] / norm)
     else:
         w = p["w"]
+    from vdnerf_tpu.models.precision import get_matmul_dtype
+
+    mm_dtype = get_matmul_dtype()
+    if mm_dtype is not None:
+        x = x.astype(mm_dtype)
+        w = w.astype(mm_dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32) + p["b"]
 
 

@@ -1,0 +1,38 @@
+"""Global matmul precision policy.
+
+TPU MXUs run bf16 matmuls at a multiple of the fp32 rate. Setting the policy
+to bfloat16 casts matmul INPUTS only; accumulation stays fp32
+(``preferred_element_type``), parameters stay fp32 master copies, and all
+non-matmul math (embedder trig, compositing, losses) stays fp32. This is the
+standard mixed-precision recipe — activations lose at most bf16 mantissa on
+the way into each matmul.
+
+The policy is read at trace time: set it before jitting a step (the runner
+wires it to the ``train.bf16`` conf key / ``VDNERF_BF16`` env var).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+_MATMUL_DTYPE = None
+
+
+def set_matmul_dtype(dtype) -> None:
+    """dtype: jnp.bfloat16, or None to restore full fp32."""
+    global _MATMUL_DTYPE
+    _MATMUL_DTYPE = dtype
+
+
+def get_matmul_dtype():
+    return _MATMUL_DTYPE
+
+
+def enable_bf16(enable: bool = True) -> None:
+    set_matmul_dtype(jnp.bfloat16 if enable else None)
+
+
+if os.environ.get("VDNERF_BF16", "") in ("1", "true", "True"):
+    enable_bf16(True)
