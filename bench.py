@@ -58,14 +58,19 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 20):
             "feats": np.zeros((batch_size, 1), np.float32),
         }
 
-    batch = make_batch()
-    for _ in range(n_warmup):
-        state, metrics = step_fn(state, batch)
+    # distinct pre-staged batches: the axon backend memoizes executions with
+    # identical inputs, so repeated same-batch steps would measure nothing
+    batches = [
+        jax.device_put(jax.tree_util.tree_map(jnp.asarray, make_batch()))
+        for _ in range(max(n_steps, n_warmup))
+    ]
+    for i in range(n_warmup):
+        state, metrics = step_fn(state, batches[i])
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step_fn(state, batch)
+    for i in range(n_steps):
+        state, metrics = step_fn(state, batches[i])
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
     rays_per_sec = batch_size * n_steps / dt

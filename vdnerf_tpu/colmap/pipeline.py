@@ -142,6 +142,37 @@ def save_poses(basedir: str, poses: np.ndarray, pts3d: dict, perm) -> None:
     np.save(os.path.join(basedir, "poses.npy"), poses)
 
 
+def minify(basedir: str, factors=(), resolutions=()) -> None:
+    """Write downscaled image sets ``images_<factor>/`` / ``images_<WxH>/``
+    (reference pose_utils.py `minify`, using cv2 instead of mogrify)."""
+    try:
+        import cv2 as cv
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("minify requires cv2") from e
+
+    img_dir = os.path.join(basedir, "images")
+    names = sorted(
+        f for f in os.listdir(img_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    jobs = [(f"images_{r}", ("factor", r)) for r in factors]
+    jobs += [(f"images_{w}x{h}", ("res", (w, h))) for (w, h) in resolutions]
+    for out_name, (kind, val) in jobs:
+        out_dir = os.path.join(basedir, out_name)
+        if os.path.exists(out_dir):
+            continue
+        os.makedirs(out_dir, exist_ok=True)
+        for name in names:
+            img = cv.imread(os.path.join(img_dir, name), -1)
+            if kind == "factor":
+                h, w = img.shape[:2]
+                size = (w // val, h // val)
+            else:
+                size = val
+            out = cv.resize(img, size, interpolation=cv.INTER_AREA)
+            cv.imwrite(os.path.join(out_dir, name), out)
+
+
 def gen_poses(basedir: str, match_type: str = "exhaustive_matcher") -> bool:
     """imgs2poses driver (reference imgs2poses.py + pose_utils.py:282-311)."""
     needed = [f"{f}.bin" for f in ("cameras", "images", "points3D")]

@@ -161,6 +161,18 @@ class Runner:
     def save_checkpoint(self) -> str:
         path = checkpoint_path(self.base_exp_dir, self.iter_step)
         save_state(path, self.state)
+        if self.tcfg.learnable:
+            # separate pose/focal checkpoint, mirroring the reference's
+            # two-file scheme (dpt_runner.py:383-401)
+            pnf = {
+                "cams": self.state["cams"],
+                "pose_opt_state": self.state["pose_opt_state"],
+                "focal_opt_state": self.state["focal_opt_state"],
+                "step": self.state["step"],
+            }
+            save_state(
+                checkpoint_path(self.base_exp_dir, self.iter_step, "pnf"), pnf
+            )
         return path
 
     def load_checkpoint(self, path: str) -> None:
@@ -181,12 +193,31 @@ class Runner:
             )
             self.state["params"] = params
             self.state["step"] = jnp.asarray(step, jnp.int32)
+            self._maybe_load_torch_pnf(iter_step)
             return
         raise FileNotFoundError(path)
+
+    def _maybe_load_torch_pnf(self, iter_step: int) -> None:
+        """Restore learned pose/focal from a reference pnf_*.pth if present
+        (dpt_runner.py:361-362,383-389)."""
+        if not self.tcfg.learnable:
+            return
+        pnf_path = os.path.join(
+            self.base_exp_dir, "pnf_checkpoints", f"pnf_{iter_step:06d}.pth"
+        )
+        if os.path.exists(pnf_path):
+            from vdnerf_tpu.io import import_torch_pnf_checkpoint
+
+            cams, _ = import_torch_pnf_checkpoint(pnf_path)
+            self.state["cams"] = dict(self.state["cams"], **cams)
 
     # -- training -----------------------------------------------------------
 
     def train(self) -> None:
+        if self.conf.get_bool("train.bf16", default=False):
+            from vdnerf_tpu.models.precision import enable_bf16
+
+            enable_bf16(True)
         writer = MetricsWriter(os.path.join(self.base_exp_dir, "logs"))
         devices = jax.devices()
         if len(devices) > 1:
@@ -204,11 +235,16 @@ class Runner:
         perm_pos = 0
         throughput = Throughput(self.tcfg.batch_size)
 
+        profile_dir = os.environ.get("VDNERF_PROFILE_DIR")
         for _ in range(res_step):
             img_idx = int(image_perm[perm_pos % len(image_perm)])
             batch = self.store.sample_pixels(
                 img_idx, self.tcfg.batch_size, self.rng
             )
+            if profile_dir and self.iter_step == 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and self.iter_step == 15:
+                jax.profiler.stop_trace()
             self.state, metrics = step_fn(self.state, place(batch))
             step = self.iter_step
             perm_pos += 1
