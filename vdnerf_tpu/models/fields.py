@@ -111,8 +111,15 @@ def sdf_init(key: jax.Array, cfg: SDFConfig) -> Params:
     return {"layers": layers}
 
 
-def sdf_apply(cfg: SDFConfig, params: Params, pts: jax.Array) -> jax.Array:
-    """[N, 3] -> [N, d_out] = [sdf | geometry feature]."""
+def sdf_apply_split(
+    cfg: SDFConfig, params: Params, pts: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """[N, 3] -> (sdf [N, 1] fp32, feature [N, d_out-1] compute dtype).
+
+    The sdf channel drives compositing math, so it is always fp32; the
+    geometry feature stays in the matmul compute dtype (bf16 under the
+    mixed-precision policy) — its consumer is another matmul.
+    """
     embed_fn, _ = get_embedder(cfg.multires, cfg.d_in)
     inputs = embed_fn(pts * cfg.scale)
     x = inputs
@@ -120,16 +127,25 @@ def sdf_apply(cfg: SDFConfig, params: Params, pts: jax.Array) -> jax.Array:
     inv_sqrt2 = 1.0 / np.sqrt(2)
     for l in range(n_linear):
         if l in cfg.skip_in:
-            x = jnp.concatenate([x, inputs], axis=-1) * inv_sqrt2
+            x = jnp.concatenate(
+                [x, inputs.astype(x.dtype)], axis=-1
+            ) * jnp.asarray(inv_sqrt2, x.dtype)
         x = linear(params["layers"][l], x)
         if l < n_linear - 1:
             x = softplus_beta(x, beta=100.0)
-    return jnp.concatenate([x[..., :1] / cfg.scale, x[..., 1:]], axis=-1)
+    sdf = x[..., :1].astype(jnp.float32) / cfg.scale
+    return sdf, x[..., 1:]
+
+
+def sdf_apply(cfg: SDFConfig, params: Params, pts: jax.Array) -> jax.Array:
+    """[N, 3] -> [N, d_out] = [sdf | geometry feature], fp32."""
+    sdf, feat = sdf_apply_split(cfg, params, pts)
+    return jnp.concatenate([sdf, feat.astype(jnp.float32)], axis=-1)
 
 
 def sdf_value(cfg: SDFConfig, params: Params, pts: jax.Array) -> jax.Array:
     """[N, 3] -> [N, 1] signed distance."""
-    return sdf_apply(cfg, params, pts)[..., :1]
+    return sdf_apply_split(cfg, params, pts)[0]
 
 
 def sdf_value_grad_feat(
@@ -140,12 +156,13 @@ def sdf_value_grad_feat(
     The whole batch goes through one forward matmul chain; the spatial
     gradient is one batched reverse pass with a cotangent selecting the sdf
     channel. Differentiable (the VJP is itself traced), so the eikonal loss's
-    second-order term works under the outer ``jax.grad``.
+    second-order term works under the outer ``jax.grad``. The feature tensor
+    keeps the matmul compute dtype (bf16 under the mixed-precision policy).
     """
-    out, pullback = jax.vjp(lambda p: sdf_apply(cfg, params, p), pts)
-    sdf, feat = out[..., :1], out[..., 1:]
-    cotangent = jnp.zeros_like(out).at[..., 0].set(1.0)
-    (grad,) = pullback(cotangent)
+    (sdf, feat), pullback = jax.vjp(
+        lambda p: sdf_apply_split(cfg, params, p), pts
+    )
+    (grad,) = pullback((jnp.ones_like(sdf), jnp.zeros_like(feat)))
     return sdf, grad, feat
 
 
@@ -201,6 +218,15 @@ def render_net_apply(
     if cfg.multires_view > 0:
         embed_fn, _ = get_embedder(cfg.multires_view, 3)
         view_dirs = embed_fn(view_dirs)
+    from vdnerf_tpu.models.precision import get_matmul_dtype
+
+    dt = get_matmul_dtype()
+    if dt is not None:
+        # cast before concat so the wide input tensor materializes at the
+        # compute dtype (this input is a matmul operand anyway)
+        points, view_dirs, normals, feature_vectors = (
+            t.astype(dt) for t in (points, view_dirs, normals, feature_vectors)
+        )
     if cfg.mode == "idr":
         x = jnp.concatenate([points, view_dirs, normals, feature_vectors], axis=-1)
     elif cfg.mode == "no_view_dir":
@@ -215,6 +241,7 @@ def render_net_apply(
         x = linear(params["layers"][l], x)
         if l < n_linear - 1:
             x = jax.nn.relu(x)
+    x = x.astype(jnp.float32)
     if cfg.squeeze_out:
         return jax.nn.sigmoid(x)
     return jax.nn.relu(x)
@@ -291,20 +318,22 @@ def nerf_apply(
     for i, layer in enumerate(params["pts_linears"]):
         h = jax.nn.relu(linear(layer, h))
         if i in cfg.skips:
-            h = jnp.concatenate([input_pts, h], axis=-1)
+            h = jnp.concatenate([input_pts.astype(h.dtype), h], axis=-1)
 
     if not cfg.use_viewdirs:
         raise NotImplementedError(
             "reference NeRF asserts use_viewdirs=True (fields.py:355)"
         )
-    alpha = linear(params["alpha_linear"], h)
+    alpha = linear(params["alpha_linear"], h).astype(jnp.float32)
     feature = linear(params["feature_linear"], h)
-    h = jnp.concatenate([feature, input_views], axis=-1)
+    h = jnp.concatenate([feature, input_views.astype(feature.dtype)], axis=-1)
     for layer in params["views_linears"]:
         h = jax.nn.relu(linear(layer, h))
-    rgb = linear(params["rgb_linear"], h)
+    rgb = linear(params["rgb_linear"], h).astype(jnp.float32)
     depth_feat = (
-        linear(params["dpt_linear"], h) if cfg.gen_depth_feats else None
+        linear(params["dpt_linear"], h).astype(jnp.float32)
+        if cfg.gen_depth_feats
+        else None
     )
     return alpha, rgb, depth_feat
 

@@ -65,8 +65,13 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
 
     mm_dtype = get_matmul_dtype()
     if mm_dtype is not None:
+        # bf16 activations: halves HBM traffic (the step is bandwidth-bound:
+        # ~32 GB accessed vs ~0.9 TFLOP at batch 512). Accumulation stays
+        # fp32; the out-facing head values are cast back by the callers.
         x = x.astype(mm_dtype)
         w = w.astype(mm_dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32) + p["b"]
+        return y.astype(mm_dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32) + p["b"]
 
 
