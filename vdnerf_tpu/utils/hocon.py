@@ -224,6 +224,18 @@ class _Parser:
             self._parse_object_body(child)
             return
 
+        # single-line object: `name { key = v ... }` — requeue the body and
+        # closer as synthetic lines so the normal object path handles it
+        brace = line.find("{")
+        if brace >= 0 and line.rstrip().endswith("}") and "=" not in line[:brace] and ":" not in line[:brace]:
+            key = line[:brace].rstrip().rstrip("=:").strip()
+            body = line[brace + 1 :].rstrip()
+            body = body[: body.rfind("}")]
+            self.lines[self.pos : self.pos] = [body, "}"]
+            child = obj.setdefault(key, {})
+            self._parse_object_body(child)
+            return
+
         # key/value split on first `=` or `:` outside quotes
         sep_idx = -1
         for i, ch in enumerate(line):
@@ -235,6 +247,28 @@ class _Parser:
         key = line[:sep_idx].strip()
         value = line[sep_idx + 1 :].strip()
 
+        # several comma-separated assignments on one line
+        # (`D = 2, W = 64, ...`) — split at top-level commas and recurse
+        if "=" in value and not value.startswith("["):
+            parts, depth, cur = [], 0, []
+            for ch in line:
+                if ch in "[{":
+                    depth += 1
+                elif ch in "]}":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+            parts.append("".join(cur))
+            if len(parts) > 1:
+                for part in parts:
+                    part = part.strip()
+                    if part:
+                        self._parse_entry(part, obj)
+                return
+
         if value.startswith("["):
             body = value[1:]
             while "]" not in body:
@@ -244,6 +278,9 @@ class _Parser:
                 body += " " + nxt
             body, _, rest = body.partition("]")
             obj[key] = _split_list_items(body)
+            rest = rest.strip().lstrip(",").strip()
+            if rest:  # more assignments after the list on the same line
+                self._parse_entry(rest, obj)
             return
 
         value = value.rstrip(",").strip()
