@@ -1,16 +1,22 @@
 """Training-throughput benchmark: rays/sec/chip on the flagship NeuS model.
 
-Runs the full womsk_white.conf-size training step (512-ray reference batch
-and a TPU-efficient larger batch), measures steady-state rays/sec on the
-available chip, and prints ONE JSON line:
+Runs the full womsk_white.conf-size training step on a synthetic sphere
+scene, measures steady-state rays/sec on the available chip, and prints ONE
+JSON line:
 
     {"metric": "...", "value": N, "unit": "rays/sec/chip", "vs_baseline": N}
 
-Baseline: the torch reference trains 512 rays/iter; public NeuS-family
-training runs at roughly 5 it/s on a single consumer GPU (300k iters in
-~14-18h), i.e. ~2.5-3k rays/sec. vs_baseline is computed against 3000
-rays/sec (the generous end). The reference repo itself publishes no numbers
-(BASELINE.md), so this is the documented stand-in.
+Measurement notes (this environment's axon TPU tunnel):
+- identical executions are memoized -> every step gets a distinct batch;
+- per-step host sync adds ~30-45 ms tunnel RTT -> timing uses a long chain
+  of dependency-linked steps with one final host read;
+- losses are asserted finite (targets come from a coherent synthetic scene,
+  so the loss trains rather than diverging).
+
+Baseline: the torch reference trains 512 rays/iter at roughly 5 it/s on a
+single consumer GPU (300k iters in ~14-18h), i.e. ~2.5-3k rays/sec.
+vs_baseline is computed against 3000 rays/sec (the generous end). The
+reference repo publishes no numbers itself (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ import time
 TORCH_BASELINE_RAYS_PER_SEC = 3000.0
 
 
-def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 20,
+def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 50,
                 bf16: bool = True):
     import jax
     import jax.numpy as jnp
@@ -37,53 +43,77 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 20,
         enable_bf16(True)
 
     from __graft_entry__ import _full_size_setup
+    from vdnerf_tpu.data.synthetic import look_at_pose, render_sphere_image
     from vdnerf_tpu.train import SceneStatic, TrainConfig, init_state
     from vdnerf_tpu.train.step import make_train_step
 
     nets, params, _ = _full_size_setup(batch=batch_size, small=False)
     tcfg = TrainConfig(batch_size=batch_size)
-    H = W = 512
+    H = W = 256
     n_images = 4
-    poses = jnp.tile(jnp.eye(4)[None], (n_images, 1, 1)).at[:, 2, 3].set(-3.0)
-    K = jnp.eye(4).at[0, 0].set(500.0).at[1, 1].set(500.0)
-    K = K.at[0, 2].set(W / 2).at[1, 2].set(H / 2)
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 300.0
+    K[0, 2] = W / 2.0
+    K[1, 2] = H / 2.0
+
+    poses, images, masks = [], [], []
+    rng = np.random.default_rng(0)
+    for i in range(n_images):
+        th = 2 * np.pi * i / n_images
+        eye = 3.0 * np.array([np.cos(th), np.sin(th), 0.3])
+        c2w = look_at_pose(eye, np.zeros(3))
+        rgba, _ = render_sphere_image(c2w, K, H, W, 0.5)
+        poses.append(c2w)
+        images.append(rgba[..., :3].astype(np.float32) / 255.0)
+        masks.append((rgba[..., 3:] > 0).astype(np.float32))
+    poses = np.stack(poses)
+    images = np.stack(images)
+    masks = np.stack(masks)
+
     cams = {
-        "pose_all": poses,
-        "intrin_inv_all": jnp.tile(jnp.linalg.inv(K)[None], (n_images, 1, 1)),
+        "pose_all": jnp.asarray(poses),
+        "intrin_inv_all": jnp.tile(
+            jnp.asarray(np.linalg.inv(K), jnp.float32)[None], (n_images, 1, 1)
+        ),
     }
     scene = SceneStatic(H=H, W=W)
     state = init_state(params, tcfg, cams, jax.random.PRNGKey(0))
     step_fn = jax.jit(make_train_step(nets, tcfg, scene))
 
-    rng = np.random.default_rng(0)
-
-    def make_batch():
+    def make_batch(i):
+        img = i % n_images
+        px = rng.integers(0, W, batch_size).astype(np.int32)
+        py = rng.integers(0, H, batch_size).astype(np.int32)
         return {
-            "img_idx": np.int32(0),
-            "pixels_x": rng.integers(0, W, batch_size).astype(np.int32),
-            "pixels_y": rng.integers(0, H, batch_size).astype(np.int32),
-            "color": rng.uniform(0, 1, (batch_size, 3)).astype(np.float32),
-            "mask": np.ones((batch_size, 1), np.float32),
+            "img_idx": np.int32(img),
+            "pixels_x": px,
+            "pixels_y": py,
+            "color": images[img, py, px],
+            "mask": masks[img, py, px],
             "feats": np.zeros((batch_size, 1), np.float32),
         }
 
-    # distinct pre-staged batches: the axon backend memoizes executions with
-    # identical inputs, so repeated same-batch steps would measure nothing
-    batches = [
-        jax.device_put(jax.tree_util.tree_map(jnp.asarray, make_batch()))
-        for _ in range(max(n_steps, n_warmup))
-    ]
+    n_warmup = max(n_warmup, 1)
+    batches = [make_batch(i) for i in range(n_warmup + 2 * n_steps)]
     for i in range(n_warmup):
         state, metrics = step_fn(state, batches[i])
     jax.block_until_ready(metrics["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step_fn(state, batches[i])
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-    rays_per_sec = batch_size * n_steps / dt
-    return rays_per_sec, dt / n_steps
+    # two measurement windows, best taken: the first window in a process
+    # can still absorb remote-compile/autotune warm-up on this backend
+    best_dt = float("inf")
+    for w in range(2):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = step_fn(
+                state, batches[n_warmup + w * n_steps + i]
+            )
+        loss = float(metrics["loss"])  # full host materialization
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss), f"loss diverged: {loss}"
+        best_dt = min(best_dt, dt)
+    rays_per_sec = batch_size * n_steps / best_dt
+    return rays_per_sec, best_dt / n_steps
 
 
 def main():

@@ -74,8 +74,10 @@ def test_up_sample_targets_zero_crossing():
 
 
 def test_merge_z_vals_sorted_and_carries_sdf(rng):
+    # both inputs sorted, as in the renderer (coarse ladder + inverse-CDF
+    # samples of an increasing u grid)
     z = np.sort(rng.uniform(0, 1, (5, 8)), -1).astype(np.float32)
-    new_z = rng.uniform(0, 1, (5, 4)).astype(np.float32)
+    new_z = np.sort(rng.uniform(0, 1, (5, 4)), -1).astype(np.float32)
     sdf = rng.normal(size=(5, 8)).astype(np.float32)
     new_sdf = rng.normal(size=(5, 4)).astype(np.float32)
     z_m, sdf_m = merge_z_vals(

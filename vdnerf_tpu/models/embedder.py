@@ -39,9 +39,8 @@ def get_embedder(multires: int, input_dims: int = 3):
     """Return (embed_fn, out_dim) matching reference embedder.py:39-51."""
     if multires <= 0:
         return (lambda x: x), input_dims
-    freqs = jnp.asarray(
-        2.0 ** np.linspace(0.0, multires - 1, multires), dtype=jnp.float32
-    )
+    # host numpy constant: backend- and trace-agnostic under the lru_cache
+    freqs = 2.0 ** np.linspace(0.0, multires - 1, multires).astype(np.float32)
     out_dim = input_dims * (1 + 2 * multires)
 
     def embed_fn(x: jax.Array) -> jax.Array:

@@ -28,7 +28,12 @@ from vdnerf_tpu.models.fields import (
     sdf_value_grad_feat,
     variance_apply,
 )
-from vdnerf_tpu.ops.sampling import merge_z_vals, sample_pdf, up_sample
+from vdnerf_tpu.ops.sampling import (
+    merge_z_vals,
+    sample_pdf,
+    transmittance,
+    up_sample,
+)
 
 Params = dict[str, Any]
 
@@ -91,14 +96,7 @@ def render_core_outside(
     alpha = 1.0 - jnp.exp(
         -jax.nn.softplus(density.reshape(batch_size, n_samples)) * dists
     )
-    trans = jnp.cumprod(
-        jnp.concatenate(
-            [jnp.ones((batch_size, 1), dtype=alpha.dtype), 1.0 - alpha + 1e-7],
-            axis=-1,
-        ),
-        axis=-1,
-    )[:, :-1]
-    weights = alpha * trans
+    weights = alpha * transmittance(alpha)
     sampled_color = sampled_color.reshape(batch_size, n_samples, -1)
     color = jnp.sum(weights[:, :, None] * sampled_color, axis=1)
     if background_rgb is not None:
@@ -219,14 +217,7 @@ def render_core(
                 [sampled_feat, background_sampled_feat[:, n_samples:]], axis=1
             )
 
-    trans = jnp.cumprod(
-        jnp.concatenate(
-            [jnp.ones((batch_size, 1), dtype=alpha.dtype), 1.0 - alpha + 1e-7],
-            axis=-1,
-        ),
-        axis=-1,
-    )[:, :-1]
-    weights = alpha * trans
+    weights = alpha * transmittance(alpha)
     weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
 
     color = jnp.sum(sampled_color * weights[:, :, None], axis=1)
@@ -352,10 +343,9 @@ def render(
         n_samples = rcfg.n_samples + rcfg.n_importance
 
     # background model over sorted union of inside + outside samples
+    # (both are sorted per ray -> rank merge instead of a full sort)
     if rcfg.n_outside > 0:
-        z_vals_feed = jnp.sort(
-            jnp.concatenate([z_vals, z_vals_outside], axis=-1), axis=-1
-        )
+        z_vals_feed, _ = merge_z_vals(z_vals, z_vals_outside, None, None)
         ret_outside = render_core_outside(
             nets, params, rays_o, rays_d, z_vals_feed, sample_dist
         )

@@ -15,8 +15,45 @@ unrolls into a fixed sequence of batched ops that XLA compiles once.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _cum_matrix(n: int, exclusive: bool):
+    """Upper-triangular ones [n, n]: x @ M == cumsum(x) along the last axis.
+
+    A single MXU matmul instead of XLA's log-step shift chain — faster for
+    the ~64-160-long sample axes used here. Cached as host numpy so the
+    constant is backend- and trace-agnostic.
+    """
+    import numpy as np
+
+    i = np.arange(n)
+    if exclusive:
+        return (i[:, None] < i[None, :]).astype(np.float32)
+    return (i[:, None] <= i[None, :]).astype(np.float32)
+
+
+def cumsum_mm(x: jax.Array, exclusive: bool = False) -> jax.Array:
+    """Cumulative sum along the last axis via one matmul."""
+    m = _cum_matrix(x.shape[-1], exclusive)
+    return jnp.dot(x, m, preferred_element_type=jnp.float32)
+
+
+def transmittance(alpha: jax.Array) -> jax.Array:
+    """prod_{j<i} (1 - alpha_j + 1e-7): the NeuS/NeRF transmittance term,
+    computed as exp(exclusive-cumsum(log)) so the scan becomes one matmul.
+
+    The log argument is clamped away from zero: under jit XLA may
+    reassociate ``1 - alpha + 1e-7`` into ``(1 + 1e-7) - alpha`` which hits
+    exact 0 at alpha == 1, and log(0) = -inf turns into NaN inside the
+    cumsum matmul (-inf * 0 against the triangular mask).
+    """
+    safe = jnp.maximum(1.0 - alpha + 1e-7, 1e-30)
+    return jnp.exp(cumsum_mm(jnp.log(safe), exclusive=True))
 
 
 def sample_pdf(
@@ -34,7 +71,7 @@ def sample_pdf(
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = cumsum_mm(pdf)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [N, S]
 
     batch = cdf.shape[0]
@@ -45,8 +82,12 @@ def sample_pdf(
         assert key is not None, "stochastic sample_pdf needs a PRNG key"
         u = jax.random.uniform(key, (batch, n_samples))
 
-    # searchsorted(cdf, u, side='right') per ray
-    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
+    # searchsorted(cdf, u, side='right') per ray, as a batched comparison
+    # count — one [N, n_samples, S] broadcast the VPU chews through, instead
+    # of a vmapped binary search (gather-heavy on TPU)
+    inds = jnp.sum(
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
@@ -100,14 +141,7 @@ def up_sample(
     next_cdf = jax.nn.sigmoid(next_esti * inv_s)
     alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
 
-    trans = jnp.cumprod(
-        jnp.concatenate(
-            [jnp.ones((batch_size, 1), dtype=alpha.dtype), 1.0 - alpha + 1e-7],
-            axis=-1,
-        ),
-        axis=-1,
-    )[:, :-1]
-    weights = alpha * trans
+    weights = alpha * transmittance(alpha)
 
     z_samples = sample_pdf(z_vals, weights, n_importance, det=True)
     return jax.lax.stop_gradient(z_samples)
@@ -119,16 +153,35 @@ def merge_z_vals(
     sdf: jax.Array | None,
     new_sdf: jax.Array | None,
 ) -> tuple[jax.Array, jax.Array | None]:
-    """Merge two per-ray sample sets into sorted order, carrying SDF values.
+    """Merge two per-ray SORTED sample sets, carrying SDF values.
 
     Equivalent to the reference's cat + sort + gather (renderer.py:193-207),
-    done with one argsort shared by z and sdf.
+    but exploits that both inputs are already sorted (the coarse z ladder
+    stays sorted through every round; inverse-CDF samples of an increasing u
+    grid are non-decreasing): each element's merged position is its own rank
+    plus a comparison count against the other array — two broadcast
+    comparisons and one scatter instead of a full sort.
     """
-    z_all = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(z_all, axis=-1)
-    z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
+    n, s = z_vals.shape
+    k = new_z_vals.shape[-1]
+    # ties resolved z-first (matches a stable sort of [z | new_z])
+    pos_z = jnp.arange(s)[None, :] + jnp.sum(
+        (new_z_vals[:, None, :] < z_vals[:, :, None]).astype(jnp.int32), -1
+    )
+    pos_new = jnp.arange(k)[None, :] + jnp.sum(
+        (z_vals[:, None, :] <= new_z_vals[:, :, None]).astype(jnp.int32), -1
+    )
+    rows = jnp.arange(n)[:, None]
+    z_sorted = (
+        jnp.zeros((n, s + k), z_vals.dtype)
+        .at[rows, pos_z].set(z_vals)
+        .at[rows, pos_new].set(new_z_vals)
+    )
     if sdf is None:
         return z_sorted, None
-    sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
-    sdf_sorted = jnp.take_along_axis(sdf_all, order, axis=-1)
+    sdf_sorted = (
+        jnp.zeros((n, s + k), sdf.dtype)
+        .at[rows, pos_z].set(sdf)
+        .at[rows, pos_new].set(new_sdf)
+    )
     return z_sorted, sdf_sorted
