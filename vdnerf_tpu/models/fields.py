@@ -144,8 +144,20 @@ def sdf_apply(cfg: SDFConfig, params: Params, pts: jax.Array) -> jax.Array:
 
 
 def sdf_value(cfg: SDFConfig, params: Params, pts: jax.Array) -> jax.Array:
-    """[N, 3] -> [N, 1] signed distance."""
-    return sdf_apply_split(cfg, params, pts)[0]
+    """[N, 3] -> [N, 1] signed distance, skipping the feature head.
+
+    The final layer's weight-norm scale is per-output-column, so slicing the
+    last linear to its first column is exact — the up-sampling ladder and
+    mesh grid queries never pay for the 256-wide feature output.
+    """
+    layers = params["layers"]
+    last = layers[-1]
+    if "v" in last:
+        sliced = {"v": last["v"][:, :1], "g": last["g"][:1], "b": last["b"][:1]}
+    else:
+        sliced = {"w": last["w"][:, :1], "b": last["b"][:1]}
+    params_value = dict(params, layers=list(layers[:-1]) + [sliced])
+    return sdf_apply_split(cfg, params_value, pts)[0]
 
 
 def sdf_value_grad_feat(

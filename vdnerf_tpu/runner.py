@@ -385,8 +385,15 @@ class Runner:
         params = self.state["params"]
         nets = self.nets
 
-        def neg_sdf(pts):
-            return -sdf_value(nets.sdf, params["sdf"], pts)[..., 0]
+        if os.environ.get("VDNERF_MESH_PALLAS", "") in ("1", "true"):
+            from vdnerf_tpu.ops.pallas import sdf_value_pallas
+
+            def neg_sdf(pts):
+                return -sdf_value_pallas(nets.sdf, params["sdf"], pts)[..., 0]
+        else:
+
+            def neg_sdf(pts):
+                return -sdf_value(nets.sdf, params["sdf"], pts)[..., 0]
 
         verts, tris = extract_geometry(
             self.scene_data.object_bbox_min,

@@ -119,6 +119,9 @@ def augment_sample(sample: dict, rng: np.random.Generator) -> dict:
         mask = mask[:, ::-1]
     if rng.random() < 0.25:  # channel swap
         img = img[..., rng.permutation(3)]
+    if rng.random() < 0.25:  # gamma jitter (reference data.py:32-80)
+        gamma = rng.uniform(0.9, 1.1)
+        img = np.clip(img, 0.0, 1.0) ** gamma
     return dict(sample, image=img, depth=depth, mask=mask)
 
 
