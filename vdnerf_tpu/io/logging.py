@@ -48,6 +48,23 @@ class MetricsWriter:
                 self._tb.add_scalar(_SCALAR_MAP.get(k, k), val, step)
         self._jsonl.write(json.dumps(rec) + "\n")
 
+    def write_image(self, step: int, tag: str, img) -> None:
+        """HWC uint8/float image (reference wavelet/train.py:113-166 logs
+        validation images)."""
+        if self._tb is not None:
+            import numpy as np
+
+            arr = np.asarray(img)
+            if arr.dtype != np.uint8:
+                arr = (arr * 255).clip(0, 255).astype(np.uint8)
+            self._tb.add_image(tag, arr, step, dataformats="HWC")
+
+    def write_histogram(self, step: int, tag: str, values) -> None:
+        if self._tb is not None:
+            import numpy as np
+
+            self._tb.add_histogram(tag, np.asarray(values), step)
+
     def flush(self) -> None:
         if self._tb is not None:
             self._tb.flush()
