@@ -173,7 +173,9 @@ def minify(basedir: str, factors=(), resolutions=()) -> None:
             cv.imwrite(os.path.join(out_dir, name), out)
 
 
-def gen_poses(basedir: str, match_type: str = "exhaustive_matcher") -> bool:
+def gen_poses(
+    basedir: str, match_type: str = "exhaustive_matcher", factors=None
+) -> bool:
     """imgs2poses driver (reference imgs2poses.py + pose_utils.py:282-311)."""
     needed = [f"{f}.bin" for f in ("cameras", "images", "points3D")]
     sparse0 = os.path.join(basedir, "sparse/0")
@@ -186,6 +188,8 @@ def gen_poses(basedir: str, match_type: str = "exhaustive_matcher") -> bool:
 
     poses, pts3d, perm, names = load_colmap_data(basedir)
     save_poses(basedir, poses, pts3d, perm)
+    if factors:
+        minify(basedir, factors=factors)
     print("Done with imgs2poses")
     return True
 

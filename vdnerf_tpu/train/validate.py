@@ -49,7 +49,9 @@ class ImageRenderer:
         self.nets = nets
         self.tcfg = tcfg
         self.scene = scene
-        self.chunk = chunk or tcfg.batch_size
+        # inference chunks can be larger than the train batch: the forward
+        # render compiles fine at 4096 and runs ~2x the training rays/sec
+        self.chunk = chunk or max(tcfg.batch_size, 4096)
 
         @partial(jax.jit, static_argnames=())
         def _render_chunk(params, rays_o, rays_d, anneal):

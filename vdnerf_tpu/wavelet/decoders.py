@@ -118,8 +118,14 @@ class DecoderWave(nn.Module):
 
 
 class DecoderWave224(nn.Module):
-    """224-input wavelet decoder (reference :151-221): one more up block and
-    a finest-scale wave conv at full decoder resolution."""
+    """224-input wavelet decoder (reference :151-221): four up blocks, each
+    followed by a detail prediction, running the inverse-wavelet ladder to
+    full input resolution.
+
+    Note: the reference computes ``("disp", 1)`` with floor division
+    (``ll // 2`` at :214) — an evident typo corrupting only that diagnostic
+    output, not the reconstruction ladder; true division is used here.
+    """
 
     enc_features: Sequence[int] = (96, 96, 192, 384, 2208)
     decoder_width: float = 0.5
@@ -129,29 +135,46 @@ class DecoderWave224(nn.Module):
         features = int(self.enc_features[-1] * self.decoder_width)
         outputs = {}
         x_d0 = Conv3x3(features, "replicate", name="conv2")(x_blocks[-1])
+
         x_d1 = UpSampleBlock(features // 2, "reflection", name="up1")(
             x_d0, x_blocks[-2]
         )
-        ll = (2**3) * Conv3x3(1, "replicate", name="wave1_ll")(x_d1)
-        outputs[("disp", 3)] = ll / (2**3)
-        h = (2**2) * Conv3x3(3, "zero", name="wave1")(x_d1)
+        ll = (2**4) * Conv3x3(1, "replicate", name="wave1_ll")(x_d1)
+        h = (2**3) * Conv3x3(3, "zero", name="wave1")(x_d1)
+        outputs[("wavelets", 3, "LL")] = ll
+        outputs[("wavelets", 3, "LH")] = h[..., 0:1]
+        outputs[("wavelets", 3, "HL")] = h[..., 1:2]
+        outputs[("wavelets", 3, "HH")] = h[..., 2:3]
         ll = haar_idwt2(ll, (h[..., 0:1], h[..., 1:2], h[..., 2:3]))
-        outputs[("disp", 2)] = ll / (2**2)
+        outputs[("disp", 3)] = ll / (2**3)
 
         x_d2 = UpSampleBlock(features // 4, "reflection", name="up2")(
             x_d1, x_blocks[-3]
         )
-        h = (2**1) * Conv3x3(3, "zero", name="wave2")(x_d2)
+        h = (2**2) * Conv3x3(3, "zero", name="wave2")(x_d2)
+        outputs[("wavelets", 2, "LH")] = h[..., 0:1]
+        outputs[("wavelets", 2, "HL")] = h[..., 1:2]
+        outputs[("wavelets", 2, "HH")] = h[..., 2:3]
         ll = haar_idwt2(ll, (h[..., 0:1], h[..., 1:2], h[..., 2:3]))
-        outputs[("disp", 1)] = ll / (2**1)
+        outputs[("disp", 2)] = ll / (2**2)
 
         x_d3 = UpSampleBlock(features // 8, "reflection", name="up3")(
             x_d2, x_blocks[-4]
         )
+        h = (2**1) * Conv3x3(3, "zero", name="wave3")(x_d3)
+        outputs[("wavelets", 1, "LH")] = h[..., 0:1]
+        outputs[("wavelets", 1, "HL")] = h[..., 1:2]
+        outputs[("wavelets", 1, "HH")] = h[..., 2:3]
+        ll = haar_idwt2(ll, (h[..., 0:1], h[..., 1:2], h[..., 2:3]))
+        outputs[("disp", 1)] = ll / (2**1)
+
         x_d4 = UpSampleBlock(features // 16, "reflection", name="up4")(
             x_d3, x_blocks[-5]
         )
         h = Conv3x3(3, "zero", name="wave4")(x_d4)
+        outputs[("wavelets", 0, "LH")] = h[..., 0:1]
+        outputs[("wavelets", 0, "HL")] = h[..., 1:2]
+        outputs[("wavelets", 0, "HH")] = h[..., 2:3]
         ll = haar_idwt2(ll, (h[..., 0:1], h[..., 1:2], h[..., 2:3]))
         outputs[("disp", 0)] = ll
         return outputs

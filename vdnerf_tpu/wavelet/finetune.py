@@ -131,8 +131,15 @@ def finetune(argv=None):
                 except StopIteration:
                     test_iter = iter(test_loader)
                     vbatch = next(test_iter)
-                _, vmetrics = eval_fn(variables, vbatch)
+                disp0, vmetrics = eval_fn(variables, vbatch)
                 val_writer.write(niter, {"loss": vmetrics["loss"]})
+                # validation disparity image (reference train.py:113-166)
+                d = np.asarray(disp0[0, ..., 0])
+                rng_d = float(d.max() - d.min()) or 1.0
+                val_writer.write_image(
+                    niter, "disp_0", ((d - d.min()) / rng_d)[..., None]
+                )
+                val_writer.write_image(niter, "image_0", np.asarray(vbatch["image"][0]))
         if epoch % args.save_freq == 0:
             save_model(variables, logpath, epoch)
     save_model(variables, logpath, args.epochs - 1)
