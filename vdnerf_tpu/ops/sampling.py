@@ -82,19 +82,24 @@ def sample_pdf(
         assert key is not None, "stochastic sample_pdf needs a PRNG key"
         u = jax.random.uniform(key, (batch, n_samples))
 
-    # searchsorted(cdf, u, side='right') per ray, as a batched comparison
-    # count — one [N, n_samples, S] broadcast the VPU chews through, instead
-    # of a vmapped binary search (gather-heavy on TPU)
-    inds = jnp.sum(
-        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
-    )
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    # Invert the CDF without any gather: per-lane gathers (take_along_axis)
+    # cost ~0.6 ms each on TPU for these shapes, while masked reductions over
+    # one [N, n_samples, S] comparison tensor are microseconds. Both cdf and
+    # bins are sorted along the last axis, so
+    #   value_at(below) = max over s of value[s] * [cdf[s] <= u]
+    #   value_at(above) = min over s of value[s] masked to [cdf[s] > u]
+    # (reference semantics: below = inds-1 clamped, above = inds clamped,
+    # with searchsorted side='right'; cdf[0] = 0 <= u makes below >= 0 safe).
+    mask = cdf[:, None, :] <= u[:, :, None]  # [N, n_new, S]
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, cdf.dtype)
+    cdf_below = jnp.max(jnp.where(mask, cdf[:, None, :], -big), axis=-1)
+    cdf_above = jnp.min(jnp.where(mask, big, cdf[:, None, :]), axis=-1)
+    bins_below = jnp.max(jnp.where(mask, bins[:, None, :], -big), axis=-1)
+    bins_above = jnp.min(jnp.where(mask, big, bins[:, None, :]), axis=-1)
+    # clamp the above-end when u exceeds the whole cdf (inds == S)
+    cdf_above = jnp.minimum(cdf_above, cdf[:, -1:])
+    bins_above = jnp.minimum(bins_above, bins[:, -1:])
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
@@ -156,32 +161,15 @@ def merge_z_vals(
     """Merge two per-ray SORTED sample sets, carrying SDF values.
 
     Equivalent to the reference's cat + sort + gather (renderer.py:193-207),
-    but exploits that both inputs are already sorted (the coarse z ladder
-    stays sorted through every round; inverse-CDF samples of an increasing u
-    grid are non-decreasing): each element's merged position is its own rank
-    plus a comparison count against the other array — two broadcast
-    comparisons and one scatter instead of a full sort.
+    but as one multi-operand ``lax.sort`` that carries the sdf values along
+    with the keys — TPU sorts these [N, ~144] rows in microseconds while the
+    argsort + take_along_axis formulation pays ~0.6 ms per gather.
     """
-    n, s = z_vals.shape
-    k = new_z_vals.shape[-1]
-    # ties resolved z-first (matches a stable sort of [z | new_z])
-    pos_z = jnp.arange(s)[None, :] + jnp.sum(
-        (new_z_vals[:, None, :] < z_vals[:, :, None]).astype(jnp.int32), -1
-    )
-    pos_new = jnp.arange(k)[None, :] + jnp.sum(
-        (z_vals[:, None, :] <= new_z_vals[:, :, None]).astype(jnp.int32), -1
-    )
-    rows = jnp.arange(n)[:, None]
-    z_sorted = (
-        jnp.zeros((n, s + k), z_vals.dtype)
-        .at[rows, pos_z].set(z_vals)
-        .at[rows, pos_new].set(new_z_vals)
-    )
+    z_all = jnp.concatenate([z_vals, new_z_vals], axis=-1)
     if sdf is None:
-        return z_sorted, None
-    sdf_sorted = (
-        jnp.zeros((n, s + k), sdf.dtype)
-        .at[rows, pos_z].set(sdf)
-        .at[rows, pos_new].set(new_sdf)
+        return jax.lax.sort(z_all, dimension=-1), None
+    sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
+    z_sorted, sdf_sorted = jax.lax.sort(
+        (z_all, sdf_all), dimension=-1, num_keys=1
     )
     return z_sorted, sdf_sorted
