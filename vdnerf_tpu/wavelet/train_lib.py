@@ -124,7 +124,7 @@ def make_finetune_step(model, base_lr: float, encoder_only: bool = True):
     def step_fn(variables, opt_state, batch, lr):
         params = variables["params"]
         trainable = trainable_filter(params)
-        frozen = {k: v for k, v in params.items() if k != "encoder"} if True else None
+        frozen = {k: v for k, v in params.items() if k != "encoder"}
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
