@@ -28,12 +28,7 @@ from vdnerf_tpu.models.fields import (
     sdf_value_grad_feat,
     variance_apply,
 )
-from vdnerf_tpu.ops.sampling import (
-    merge_z_vals,
-    sample_pdf,
-    transmittance,
-    up_sample,
-)
+from vdnerf_tpu.ops.sampling import merge_z_vals, transmittance, up_sample
 
 Params = dict[str, Any]
 

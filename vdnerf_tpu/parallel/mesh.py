@@ -13,7 +13,6 @@ loss numerically identical to the single-chip one.
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import numpy as np

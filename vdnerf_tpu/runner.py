@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import logging
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +36,6 @@ from vdnerf_tpu.io import (
     Throughput,
     checkpoint_path,
     import_torch_checkpoint,
-    iter_from_name,
     latest_checkpoint,
     record_run,
     restore_state,

@@ -17,7 +17,6 @@ sums make the sharded loss/grads bit-equivalent to the single-chip ones
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

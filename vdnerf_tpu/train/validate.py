@@ -33,7 +33,7 @@ from vdnerf_tpu.data.cameras import (
 from vdnerf_tpu.data.dataset import near_far_from_sphere
 from vdnerf_tpu.ops.renderer import NeuSNetworks, render
 from vdnerf_tpu.train.config import TrainConfig
-from vdnerf_tpu.train.step import SceneStatic, cos_anneal_ratio
+from vdnerf_tpu.train.step import SceneStatic
 
 
 class ImageRenderer:

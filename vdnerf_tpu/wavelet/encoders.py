@@ -23,8 +23,6 @@ implemented correctly per channel and gated by the same flag.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

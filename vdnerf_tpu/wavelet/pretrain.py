@@ -16,7 +16,6 @@ import datetime
 import os
 
 import jax
-import numpy as np
 
 
 def build_parser():

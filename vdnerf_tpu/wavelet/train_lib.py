@@ -16,12 +16,9 @@ One jitted step; BN batch_stats updated in train mode.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from vdnerf_tpu.wavelet.haar import haar_dwt2_multi
