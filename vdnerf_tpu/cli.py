@@ -51,8 +51,16 @@ def main(argv=None) -> None:
     if args.mode == "train":
         runner.train()
     elif args.mode.startswith("validate_mesh"):
-        iter_show = int(args.mode.split("_")[-1])
-        runner.load_checkpoint_iter(iter_show)
+        # `validate_mesh_<iter>` loads that checkpoint; plain `validate_mesh`
+        # with -c uses the resumed latest checkpoint (the reference README
+        # documents this form but its code crashes on it — int('mesh'))
+        suffix = args.mode.split("_")[-1]
+        if suffix.isdigit():
+            runner.load_checkpoint_iter(int(suffix))
+        elif not args.is_continue:
+            raise SystemExit(
+                "validate_mesh needs an iteration suffix or --is_continue"
+            )
         runner.validate_mesh(
             world_space=True, resolution=512, threshold=args.mcube_threshold
         )
