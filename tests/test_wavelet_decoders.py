@@ -55,22 +55,57 @@ def test_decoder_wave_224():
 def test_sparse_decoder_threshold():
     taps = fake_taps()
     dec = SparseDecoderWave(enc_features=(16, 16, 24, 32, 48))
-    vs = dec.init(jax.random.PRNGKey(1), taps, threshold=-1.0)
+    vs = dec.init(jax.random.PRNGKey(1), taps, thresh_ratio=-1.0)
 
-    dense = dec.apply(vs, taps, threshold=-1.0)
-    sparse = dec.apply(vs, taps, threshold=1e9)  # everything masked
+    dense = dec.apply(vs, taps, thresh_ratio=-1.0)
+    sparse = dec.apply(vs, taps, thresh_ratio=1e9)  # everything masked
     assert dense[("disp", 0)].shape == sparse[("disp", 0)].shape
-    # with all details zeroed, occupancy is 0 and the finest disp reduces to
-    # the upsampled LL band
-    for s in (2, 1, 0):
+    # scale 2 is always dense/unmasked (reference :305-313)
+    assert float(sparse["sparsity"][2]) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(sparse[("disp", 2)]), np.asarray(dense[("disp", 2)])
+    )
+    # scales 1/0: with an impossible threshold every detail is masked out,
+    # so occupancy is 0 and each disp is the pure-LL upsample of its parent
+    for s in (1, 0):
         assert float(sparse["sparsity"][s]) == 0.0
         np.testing.assert_allclose(
             np.asarray(sparse[("wavelets", s, "LH")]), 0.0
         )
-    # a permissive threshold keeps everything -> matches the dense output
-    loose = dec.apply(vs, taps, threshold=0.0)
+    # a permissive (0) threshold keeps every detail -> matches dense exactly
+    loose = dec.apply(vs, taps, thresh_ratio=0.0)
+    for s in (1, 0):
+        assert float(loose["sparsity"][s]) == 1.0
+        np.testing.assert_allclose(
+            np.asarray(loose[("disp", s)]),
+            np.asarray(dense[("disp", s)]),
+            atol=1e-5,
+        )
+
+
+def test_sparse_decoder_disp_normalization_and_masks():
+    """The masked reconstructions land on the right disp keys with the right
+    1/2^s normalization, and the mask keys mirror the reference's."""
+    taps = fake_taps()
+    dec = SparseDecoderWave(enc_features=(16, 16, 24, 32, 48))
+    vs = dec.init(jax.random.PRNGKey(1), taps, thresh_ratio=-1.0)
+    out = dec.apply(vs, taps, thresh_ratio=0.1)
+
+    # disp resolutions double down the ladder: s=3 coarsest .. s=0 finest
+    hs = {s: out[("disp", s)].shape[1] for s in (3, 2, 1, 0)}
+    assert hs[2] == 2 * hs[3] and hs[1] == 2 * hs[2] and hs[0] == 2 * hs[1]
+    # wavelet_mask keys exist at scales 2 (ones), 1, 0; scale-s details (and
+    # their mask) live at the parent disp resolution hs[s+1], as in the
+    # reference (mask upsampled from the parent-scale detail grid)
+    for s in (2, 1, 0):
+        m = np.asarray(out[("wavelet_mask", s)])
+        assert m.shape[1] == hs[s + 1]
+        assert set(np.unique(m)).issubset({0.0, 1.0})
+    assert np.all(np.asarray(out[("wavelet_mask", 2)]) == 1.0)
+    # reconstruction consistency: disp_s == idwt(parent ll, masked details)/2^s
+    # is what the decoder claims; verify the pure-LL relationship where all
+    # details are zeroed out
+    dense = dec.apply(vs, taps, thresh_ratio=-1.0)
     np.testing.assert_allclose(
-        np.asarray(loose[("disp", 0)]),
-        np.asarray(dense[("disp", 0)]),
-        atol=1e-5,
+        np.asarray(out[("disp", 3)]), np.asarray(dense[("disp", 3)])
     )

@@ -2,11 +2,11 @@
 
 Parity with the reference's two-file scheme (dpt_runner.py:350-401):
 
-- ``checkpoints/ckpt_<iter:06d>.msgpack`` — all field-network params,
+- ``checkpoints/ckpt_<iter:06d>.npz`` — all field-network params,
   optimizer state, and iter_step (reference keys: nerf / sdf_network_fine /
   variance_network_fine / color_network_fine / depth_network_fine /
   optimizer / iter_step).
-- ``pnf_checkpoints/pnf_<iter:06d>.msgpack`` — learned pose/focal params and
+- ``pnf_checkpoints/pnf_<iter:06d>.npz`` — learned pose/focal params and
   their optimizer states (reference dpt_runner.py:383-401).
 - latest-checkpoint discovery by lexicographic name sort
   (reference dpt_runner.py:148-155).

@@ -27,18 +27,30 @@ def _build_lib() -> str:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     so_path = os.path.join(_BUILD_DIR, f"libmarching_tets_{digest}.so")
     if not os.path.exists(so_path):
-        cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            _SRC, "-o", so_path,
-        ]
-        subprocess.run(cmd, check=True, capture_output=True)
+        _compile(so_path)
     return so_path
+
+
+def _compile(so_path: str) -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", so_path,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
 
 
 def _get_lib():
     global _lib
     if _lib is None:
-        lib = ctypes.CDLL(_build_lib())
+        so_path = _build_lib()
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
+            # a cached .so built on another host may not load (e.g. missing
+            # ISA extensions from -march=native) — rebuild for this machine
+            os.unlink(so_path)
+            _compile(so_path)
+            lib = ctypes.CDLL(so_path)
         lib.mt_run.restype = ctypes.c_longlong
         lib.mt_run.argtypes = [
             ctypes.POINTER(ctypes.c_float),

@@ -16,8 +16,9 @@ Measured on the v5e (262k-point chunks, full womsk_white SDF): 11.4 ms/chunk
 vs 7.4 ms/chunk for the jitted jnp path — XLA's own fusion wins here because
 the chain is MXU-matmul-dominated and the narrow (3/39-wide) embedding ops
 waste VPU lanes inside the kernel. Kept as a correctness-tested alternative
-backend (``extract_fields(..., use_pallas=True)``) and as the scaffold for a
-future fully-fused ray-march kernel; the jnp path stays the default.
+backend — select it for mesh extraction with ``VDNERF_MESH_PALLAS=1`` in the
+environment (see ``runner.Runner.validate_mesh``) or call
+``sdf_value_pallas`` directly; the jnp path stays the default.
 """
 
 from __future__ import annotations

@@ -226,11 +226,14 @@ def render_core(
         jnp.linalg.norm(gradients.reshape(batch_size, n_samples, 3), axis=-1)
         - 1.0
     ) ** 2
-    # numerator/denominator kept separate so data-parallel shards can psum
-    # them and reproduce the single-chip ratio exactly
-    gradient_error_num = jnp.sum(relax_inside_sphere * gradient_error_pt)
-    gradient_error_den = jnp.sum(relax_inside_sphere)
-    gradient_error = gradient_error_num / (gradient_error_den + 1e-5)
+    # numerator/denominator kept separate AND per-ray so (a) data-parallel
+    # shards can psum their sums and reproduce the single-chip ratio exactly,
+    # and (b) chunked validation can drop padded rays before accumulating
+    gradient_error_num = jnp.sum(relax_inside_sphere * gradient_error_pt, axis=-1)
+    gradient_error_den = jnp.sum(relax_inside_sphere, axis=-1)
+    gradient_error = jnp.sum(gradient_error_num) / (
+        jnp.sum(gradient_error_den) + 1e-5
+    )
 
     return {
         "gradient_error_num": gradient_error_num,

@@ -191,6 +191,12 @@ class Runner:
             )
             self.state["params"] = params
             self.state["step"] = jnp.asarray(step, jnp.int32)
+            log.warning(
+                "imported torch checkpoint %s: params+step only — the torch "
+                "Adam moments are NOT converted, so continued training "
+                "restarts the optimizer from zero (evaluation is unaffected)",
+                torch_path,
+            )
             self._maybe_load_torch_pnf(iter_step)
             return
         raise FileNotFoundError(path)

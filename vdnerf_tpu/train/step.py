@@ -128,8 +128,8 @@ def make_loss_fn(
         sq = _psum(jnp.sum((color_fine - true_rgb) ** 2 * mask), axis_name)
         psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(sq / (mask_sum * 3.0)))
 
-        eik_num = _psum(out["gradient_error_num"], axis_name)
-        eik_den = _psum(out["gradient_error_den"], axis_name)
+        eik_num = _psum(jnp.sum(out["gradient_error_num"]), axis_name)
+        eik_den = _psum(jnp.sum(out["gradient_error_den"]), axis_name)
         eikonal_loss = eik_num / (eik_den + 1e-5)
 
         w = jnp.clip(weight_sum, 1e-3, 1.0 - 1e-3)

@@ -129,8 +129,10 @@ class ImageRenderer:
             out = self._render_chunk(params, ro, rd, anneal)
             for k in outs:
                 outs[k].append(np.asarray(out[k])[:n])
-            grad_num += float(out["grad_err_num"])
-            grad_den += float(out["grad_err_den"])
+            # per-ray num/den: drop the padded rays so the eikonal metric is
+            # identical whether or not the chunk size divides the ray count
+            grad_num += float(np.asarray(out["grad_err_num"])[:n].sum())
+            grad_den += float(np.asarray(out["grad_err_den"])[:n].sum())
         result = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
         result["gradient_error"] = grad_num / (grad_den + 1e-5)
         return result

@@ -11,13 +11,12 @@ Capability parity with ``wavelet/networks/decoders/densedepth_decoder.py``:
   upsampling decoders without wavelets.
 - :class:`DecoderWave224` (:151-221): the 224-input variant with an extra
   upsample+conv head.
-- :class:`SparseDecoderWave` (:224-409): the reference evaluates detail
-  convolutions only where parent coefficients exceed a threshold to count
-  FLOPs for a sparse-inference study. On TPU dense evaluation is the fast
-  path, so this variant computes densely and then *masks* the detail
-  coefficients with the same parent-threshold rule, reproducing the sparse
-  outputs; the mask occupancy is returned as the FLOPs-proxy the study
-  plots.
+- :class:`SparseDecoderWave` (:224-409): the reference evaluates scale-1/0
+  detail convolutions only where parent-scale coefficients exceed a relative
+  threshold, to count FLOPs for a sparse-inference study. On TPU dense
+  evaluation is the fast path, so this variant computes densely and then
+  applies the reference's masks (parent threshold, nearest-upsampled,
+  maxpool-dilated); see the class docstring for the exact rule.
 
 All modules are NHWC flax; ``("disp", s)`` outputs are [N, h, w, 1].
 """
@@ -219,38 +218,70 @@ class PlainDecoder224(nn.Module):
 
 
 class SparseDecoderWave(nn.Module):
-    """Threshold-sparsified wavelet decoder (see module docstring)."""
+    """Threshold-sparsified wavelet decoder (reference :224-409).
+
+    The reference evaluates the scale-1/0 detail convolutions only where the
+    *parent-scale* detail coefficients exceed a relative threshold
+    ``(ll.max - ll.min) * thresh_ratio`` (``thresh`` at :318/:365), with the
+    binary mask nearest-upsampled to the child scale and maxpool-dilated to
+    cover the sparse convs' receptive fields; scale-2 details are dense and
+    unmasked (``mask = ones`` at :305). On TPU dense evaluation is the fast
+    path, so this variant computes the convolutions densely and applies the
+    same masks afterwards — the masked reconstruction ladder matches the
+    reference's sparse outputs (the dilation radii guarantee every position
+    the reference computes is covered by a dense value). The mask occupancy
+    per scale is returned as the FLOPs-proxy the reference's op counter
+    (:273-407 ``total_ops``) measures.
+    """
 
     enc_features: Sequence[int] = (96, 96, 192, 384, 2208)
     decoder_width: float = 0.5
 
     @nn.compact
-    def __call__(self, x_blocks, threshold: float = -1.0):
+    def __call__(self, x_blocks, thresh_ratio: float = -1.0):
         dense = DecoderWave(self.enc_features, self.decoder_width, name="dense")
         outputs = dense(x_blocks)
-        if threshold < 0:
+        if thresh_ratio < 0:
             outputs["sparsity"] = {}
             return outputs
 
-        # parent-threshold masking: details whose reconstructed parent |LL|
-        # gradient is below threshold are zeroed, mimicking the reference's
-        # skipped sparse-conv evaluations
-        sparsity = {}
-        ll = outputs[("wavelets", 2, "LL")]
-        for scale in (2, 1, 0):
-            lh = outputs[("wavelets", scale, "LH")]
-            hl = outputs[("wavelets", scale, "HL")]
-            hh = outputs[("wavelets", scale, "HH")]
-            mag = jnp.abs(lh) + jnp.abs(hl) + jnp.abs(hh)
-            mask = (mag > threshold).astype(lh.dtype)
-            sparsity[scale] = jnp.mean(mask)
-            lh, hl, hh = lh * mask, hl * mask, hh * mask
-            outputs[("wavelets", scale, "LH")] = lh
-            outputs[("wavelets", scale, "HL")] = hl
-            outputs[("wavelets", scale, "HH")] = hh
-            ll = haar_idwt2(ll, (lh, hl, hh))
-            outputs[("disp", scale - 1 if scale > 0 else 0)] = ll / (
-                2 ** max(scale - 1, 0)
+        def stack_h(scale):
+            return jnp.concatenate(
+                [
+                    outputs[("wavelets", scale, b)]
+                    for b in ("LH", "HL", "HH")
+                ],
+                axis=-1,
             )
+
+        # scale 2: dense and unmasked (reference :305-313)
+        ll = outputs[("wavelets", 2, "LL")]
+        h = stack_h(2)
+        outputs[("wavelet_mask", 2)] = jnp.ones_like(h[..., :1])
+        ll = haar_idwt2(ll, (h[..., 0:1], h[..., 1:2], h[..., 2:3]))
+        sparsity = {2: jnp.asarray(1.0, ll.dtype)}
+
+        # scales 1 and 0: parent-relative threshold (reference :317-407)
+        parent_h = h
+        for scale in (1, 0):
+            thresh = (jnp.max(ll) - jnp.min(ll)) * thresh_ratio
+            mask = (
+                jnp.max(jnp.abs(parent_h), axis=-1, keepdims=True) > thresh
+            ).astype(ll.dtype)
+            wavelet_mask = upsample_nearest(mask)
+            # sparse convs are evaluated on the 3x3-dilated mask; dense h is
+            # exact there, zero elsewhere in the reference
+            wave_mask = nn.max_pool(
+                wavelet_mask, (3, 3), strides=(1, 1), padding="SAME"
+            )
+            h = stack_h(scale) * wave_mask
+            for i, b in enumerate(("LH", "HL", "HH")):
+                outputs[("wavelets", scale, b)] = h[..., i : i + 1]
+            outputs[("wavelet_mask", scale)] = wavelet_mask
+            hm = h * wavelet_mask  # the IDWT uses wavelet_mask * h (:359,:404)
+            ll = haar_idwt2(ll, (hm[..., 0:1], hm[..., 1:2], hm[..., 2:3]))
+            outputs[("disp", scale)] = ll / (2**scale)
+            sparsity[scale] = jnp.mean(wavelet_mask)
+            parent_h = h
         outputs["sparsity"] = sparsity
         return outputs

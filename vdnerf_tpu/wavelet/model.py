@@ -80,10 +80,10 @@ class MonodepthModel(nn.Module):
                 else PlainDecoder(enc_ch, o.decoder_width)
             )
 
-    def __call__(self, x, train: bool = False, threshold: float = -1.0):
+    def __call__(self, x, train: bool = False, thresh_ratio: float = -1.0):
         feats = self.encoder(x, train=train)
         if self.opts.use_sparse:
-            return self.decoder(feats, threshold)
+            return self.decoder(feats, thresh_ratio)
         return self.decoder(feats)
 
     def encode(self, x, train: bool = False):
