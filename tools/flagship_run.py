@@ -1,0 +1,257 @@
+"""Flagship-scale convergence run on one TPU chip.
+
+The round-1 evidence for convergence lived at toy dimensions; this script is
+the full-scale QC loop the reference runs empirically
+(dpt_runner.py:277-288): train the actual womsk_white-dimension model
+(8x256 SDF, 4x256 color, 8x256 bg NeRF, 64+64 inside + 32 outside samples,
+batch 512) on a nontrivial analytic scene (sphere + torus + bump compound
+SDF, 24 shaded views at 256x256), then
+
+- track the masked full-image PSNR curve during training,
+- extract the final mesh at 512^3 through the native marching-tets extractor,
+- verify the mesh is watertight (every edge shared by exactly 2 triangles),
+- measure Chamfer distance against the analytic ground-truth surface
+  (the same field extracted at 512^3).
+
+Masked mode (use_mask=True, mask_weight=0.1): pure-white synthetic
+backgrounds are adversarial for mask-free NeuS training (the unbounded
+background NeRF absorbs the object; see CLAUDE.md) — the womsk confs target
+real textured captures.
+
+Writes results to <out>/flagship_report.json and prints a summary.
+
+Usage: python tools/flagship_run.py [--iters 25000] [--out /tmp/vdn_flagship]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def edge_manifold_stats(tris) -> dict:
+    """Watertightness check: closed 2-manifolds have every edge on exactly
+    two triangles."""
+    import numpy as np
+
+    edges = np.concatenate(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0
+    )
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    return {
+        "n_edges": int(len(counts)),
+        "boundary_edges": int((counts == 1).sum()),
+        "nonmanifold_edges": int((counts > 2).sum()),
+        "watertight": bool((counts == 2).all()),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=25000)
+    p.add_argument("--out", type=str, default="/tmp/vdn_flagship")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--views", type=int, default=24)
+    p.add_argument("--img-res", type=int, default=256)
+    p.add_argument("--val-every", type=int, default=2500)
+    p.add_argument("--fp32", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vdnerf_tpu.models.precision import enable_bf16
+
+    enable_bf16(not args.fp32)
+
+    from vdnerf_tpu.data.dataset import SceneData
+    from vdnerf_tpu.data.rays import RayStore
+    from vdnerf_tpu.data.synthetic import make_compound_scene
+    from vdnerf_tpu.mesh import extract_geometry, mesh_chamfer, save_ply
+    from vdnerf_tpu.models.fields import (
+        NeRFConfig,
+        RenderConfig,
+        SDFConfig,
+        sdf_value,
+    )
+    from vdnerf_tpu.ops.renderer import NeuSNetworks, RendererConfig
+    from vdnerf_tpu.train import (
+        SceneStatic,
+        TrainConfig,
+        init_params,
+        init_state,
+        make_train_step,
+    )
+    from vdnerf_tpu.train.validate import ImageRenderer, val_image_metrics
+    from vdnerf_tpu.utils.hocon import Config
+
+    os.makedirs(args.out, exist_ok=True)
+    print(f"devices: {jax.devices()}", flush=True)
+
+    t_gen = time.time()
+    make_compound_scene(
+        args.out, n_images=args.views, H=args.img_res, W=args.img_res,
+        focal=1.25 * args.img_res,
+    )
+    print(f"scene: {args.views} views {args.img_res}^2 rendered in "
+          f"{time.time()-t_gen:.0f}s", flush=True)
+
+    conf = Config({
+        "dataset": {
+            "data_dir": args.out, "img_dir": "image", "depth_dir": "00",
+            "render_cameras_name": "image/cameras_sphere.npz",
+            "object_cameras_name": "image/cameras_sphere.npz",
+        }
+    })
+    sd = SceneData(conf["dataset"])
+    store = RayStore(sd.images_lis, sd.masks_lis)
+
+    # flagship dimensions: the womsk_white.conf defaults
+    nets = NeuSNetworks(
+        sdf=SDFConfig(), color=RenderConfig(), nerf=NeRFConfig(),
+        renderer=RendererConfig(),
+    )
+    tcfg = TrainConfig(
+        batch_size=args.batch, end_iter=args.iters,
+        warm_up_end=max(args.iters // 50, 100),
+        anneal_end=max(args.iters // 4, 1000),
+        use_white_bkgd=True, use_mask=True, mask_weight=0.1,
+    )
+    params = init_params(jax.random.PRNGKey(0), nets, 0.3)
+    cams = {
+        "pose_all": jnp.asarray(sd.pose_all),
+        "intrin_inv_all": jnp.asarray(sd.intrinsics_all_inv),
+    }
+    scene = SceneStatic(H=sd.H, W=sd.W)
+    state = init_state(params, tcfg, cams, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(nets, tcfg, scene))
+    img_renderer = ImageRenderer(nets, tcfg, scene)
+
+    def masked_psnr(idx: int, res_level: int) -> tuple[float, float, float]:
+        out = img_renderer.render_image(
+            state["params"], cams, idx, res_level, int(state["step"])
+        )
+        gt = store.image_at(idx, res_level) / 255.0
+        mask = (store.mask_at(idx, res_level) > 0.1).astype(np.float32)
+        l1, psnr = val_image_metrics(out["img"], gt, mask)
+        return l1, psnr, out["gradient_error"]
+
+    curve = []
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for i in range(args.iters):
+        batch = store.sample_pixels(i % sd.n_images, tcfg.batch_size, rng)
+        state, m = step(state, batch)
+        it = i + 1
+        if it % 500 == 0 or it == 10:
+            elapsed = time.time() - t0
+            print(
+                f"iter {it} train-psnr {float(m['psnr']):.2f} "
+                f"loss {float(m['loss']):.4f} s_val {float(m['s_val']):.4f} "
+                f"[{it * tcfg.batch_size / elapsed:.0f} rays/s]", flush=True,
+            )
+        if it % args.val_every == 0 or it == args.iters:
+            l1, psnr, geik = masked_psnr(int(rng.integers(sd.n_images)), 2)
+            curve.append(
+                {"iter": it, "masked_psnr_res2": psnr, "l1": l1,
+                 "gradient_error": geik, "wall_s": time.time() - t0}
+            )
+            print(f"  val @ {it}: masked PSNR {psnr:.2f} dB  "
+                  f"eikonal {geik:.4f}", flush=True)
+    train_wall = time.time() - t0
+    rays_per_sec = args.iters * tcfg.batch_size / train_wall
+    print(f"trained {args.iters} iters in {train_wall:.0f}s "
+          f"({rays_per_sec:.0f} rays/s)", flush=True)
+
+    # final full-res masked PSNR over 4 evenly spaced views
+    finals = [masked_psnr(i, 1) for i in range(0, sd.n_images, sd.n_images // 4)]
+    final_psnr = float(np.mean([f[1] for f in finals]))
+    final_eik = float(np.mean([f[2] for f in finals]))
+    print(f"final full-res masked PSNR {final_psnr:.2f} dB "
+          f"(eikonal {final_eik:.4f})", flush=True)
+
+    # 512^3 mesh through the native extractor
+    params_f = state["params"]
+
+    def neg_sdf(pts):
+        return -sdf_value(nets.sdf, params_f["sdf"], pts)[..., 0]
+
+    t_mesh = time.time()
+    verts, tris = extract_geometry(
+        sd.object_bbox_min, sd.object_bbox_max, args.resolution, 0.0, neg_sdf
+    )
+    mesh_wall = time.time() - t_mesh
+    print(f"mesh: {len(verts)} verts {len(tris)} tris at "
+          f"{args.resolution}^3 in {mesh_wall:.0f}s", flush=True)
+    save_ply(os.path.join(args.out, "flagship_mesh.ply"), verts, tris)
+
+    manifold = edge_manifold_stats(tris)
+    print(f"watertight: {manifold}", flush=True)
+
+    # ground truth: the analytic compound SDF extracted at the same res
+    def neg_gt_sdf(pts):
+        sphere = jnp.linalg.norm(pts, axis=-1) - 0.35
+        q = jnp.stack(
+            [jnp.linalg.norm(pts[..., :2], axis=-1) - 0.55, pts[..., 2]],
+            axis=-1,
+        )
+        torus = jnp.linalg.norm(q, axis=-1) - 0.12
+        bump = (
+            jnp.linalg.norm(pts - jnp.asarray([0.0, 0.0, 0.45]), axis=-1)
+            - 0.18
+        )
+        return -jnp.minimum(jnp.minimum(sphere, torus), bump)
+
+    v_gt, t_gt = extract_geometry(
+        sd.object_bbox_min, sd.object_bbox_max, args.resolution, 0.0,
+        neg_gt_sdf,
+    )
+    # clip away any far-field shells outside the object's 0.8-radius budget
+    r = np.linalg.norm(verts, axis=-1)
+    keep = r < 0.9
+    remap = -np.ones(len(verts), np.int64)
+    remap[keep] = np.arange(keep.sum())
+    tk = remap[tris[np.all(keep[tris], axis=1)]]
+    chamfer = mesh_chamfer(verts[keep], tk, v_gt, t_gt, n_points=100_000)
+    print("chamfer vs analytic compound surface:",
+          {k: round(v, 5) for k, v in chamfer.items()}, flush=True)
+
+    report = {
+        "config": {
+            "iters": args.iters, "batch": args.batch, "views": args.views,
+            "img_res": args.img_res, "mesh_res": args.resolution,
+            "model": "flagship womsk_white dims (8x256 SDF, 64+64+32 samples)",
+            "bf16": not args.fp32,
+        },
+        "train_wall_s": round(train_wall, 1),
+        "rays_per_sec": round(rays_per_sec, 1),
+        "psnr_curve": curve,
+        "final_masked_psnr_fullres": round(final_psnr, 3),
+        "final_eikonal": round(final_eik, 5),
+        "mesh": {
+            "n_verts": int(len(verts)), "n_tris": int(len(tris)),
+            "extract_wall_s": round(mesh_wall, 1), **manifold,
+        },
+        "chamfer": {k: round(v, 6) for k, v in chamfer.items()},
+    }
+    with open(os.path.join(args.out, "flagship_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({
+        "final_masked_psnr": report["final_masked_psnr_fullres"],
+        "chamfer": report["chamfer"]["chamfer"],
+        "watertight": manifold["watertight"],
+        "train_wall_s": report["train_wall_s"],
+    }), flush=True)
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,139 @@ def make_synthetic_scene(
     }
 
 
+# -- compound scene: a nontrivial analytic SDF (sphere + torus + bump) -------
+
+
+def compound_sdf(pts: np.ndarray) -> np.ndarray:
+    """Exact union SDF of a sphere, an xy-plane torus, and a top bump.
+
+    Everything fits in the unit sphere. Used as ground truth for the
+    flagship-scale convergence run (Chamfer against a 512^3 extraction of
+    this field).
+    """
+    p = np.asarray(pts, dtype=np.float64)
+    sphere = np.linalg.norm(p, axis=-1) - 0.35
+    q = np.stack(
+        [np.linalg.norm(p[..., :2], axis=-1) - 0.55, p[..., 2]], axis=-1
+    )
+    torus = np.linalg.norm(q, axis=-1) - 0.12
+    bump = np.linalg.norm(p - np.array([0.0, 0.0, 0.45]), axis=-1) - 0.18
+    return np.minimum(np.minimum(sphere, torus), bump)
+
+
+def _compound_normal(pts: np.ndarray, eps: float = 1e-4) -> np.ndarray:
+    n = np.stack(
+        [
+            compound_sdf(pts + np.eye(3)[i] * eps)
+            - compound_sdf(pts - np.eye(3)[i] * eps)
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    return n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+
+
+def _sphere_trace(
+    rays_o: np.ndarray, rays_d: np.ndarray, t0: float, t1: float,
+    n_steps: int = 192, eps: float = 5e-5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized sphere tracing of ``compound_sdf``: (t, hit)."""
+    t = np.full(rays_o.shape[:-1], t0, dtype=np.float64)
+    hit = np.zeros(rays_o.shape[:-1], dtype=bool)
+    active = np.ones_like(hit)
+    for _ in range(n_steps):
+        pts = rays_o + rays_d * t[..., None]
+        d = compound_sdf(pts)
+        newly_hit = active & (d < eps)
+        hit |= newly_hit
+        active &= ~newly_hit
+        t = np.where(active, t + np.maximum(d, eps), t)
+        active &= t < t1
+        if not active.any():
+            break
+    return t, hit
+
+
+def render_compound_image(
+    c2w: np.ndarray, K: np.ndarray, H: int, W: int
+) -> np.ndarray:
+    """Analytic RGBA render (uint8) of the shaded compound object."""
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H))
+    p = np.stack([xs, ys, np.ones_like(xs)], axis=-1).astype(np.float64)
+    Kinv = np.linalg.inv(K[:3, :3])
+    d = p @ Kinv.T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = d @ c2w[:3, :3].T
+    o = np.broadcast_to(c2w[:3, 3], d.shape)
+
+    cam_dist = float(np.linalg.norm(c2w[:3, 3]))
+    t, hit = _sphere_trace(o, d, cam_dist - 1.0, cam_dist + 1.0)
+    pts = o + d * t[..., None]
+    normal = _compound_normal(pts)
+    # normal-colored albedo with lambertian shading from a fixed light:
+    # gives real texture + shading variation across views
+    light = np.array([0.577, 0.577, 0.577])
+    albedo = 0.5 + 0.5 * normal
+    diffuse = (0.35 + 0.65 * np.maximum(normal @ light, 0.0))[..., None]
+    color = (albedo * diffuse).clip(0, 1)
+    rgba = np.zeros((H, W, 4), dtype=np.uint8)
+    rgba[..., :3] = (color * 255).astype(np.uint8)
+    rgba[..., :3][~hit] = 255
+    rgba[..., 3] = (hit * 255).astype(np.uint8)
+    return rgba
+
+
+def make_compound_scene(
+    out_dir: str,
+    n_images: int = 24,
+    H: int = 256,
+    W: int = 256,
+    cam_dist: float = 3.0,
+    focal: float = 320.0,
+    img_dir: str = "image",
+) -> dict:
+    """Write a nontrivial analytic scene in the reference's on-disk layout."""
+    img_path = os.path.join(out_dir, img_dir)
+    os.makedirs(img_path, exist_ok=True)
+
+    K = np.eye(4, dtype=np.float64)
+    K[0, 0] = K[1, 1] = focal
+    K[0, 2] = W / 2.0
+    K[1, 2] = H / 2.0
+
+    cam_npz = {}
+    rng = np.random.default_rng(11)
+    poses = []
+    for i in range(n_images):
+        theta = 2 * np.pi * i / n_images
+        phi = np.pi / 2 + rng.uniform(-0.7, 0.7)
+        eye = cam_dist * np.array(
+            [np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi),
+             np.cos(phi)]
+        )
+        c2w = look_at_pose(eye, np.zeros(3))
+        poses.append(c2w)
+        rgba = render_compound_image(c2w, K, H, W)
+        stem = f"{i:03d}"
+        cv.imwrite(os.path.join(img_path, f"{stem}.png"), rgba)
+
+        w2c = np.linalg.inv(c2w)
+        cam_npz[f"world_mat_{stem}"] = (K @ w2c).astype(np.float32)
+        cam_npz[f"scale_mat_{stem}"] = np.eye(4, dtype=np.float32)
+
+    np.savez(os.path.join(out_dir, img_dir, "cameras_sphere.npz"), **cam_npz)
+    np.savez(os.path.join(out_dir, "cameras_sphere.npz"), **cam_npz)
+    return {
+        "data_dir": out_dir,
+        "img_dir": img_dir,
+        "n_images": n_images,
+        "H": H,
+        "W": W,
+        "poses": np.stack(poses),
+        "K": K,
+    }
+
+
 SYNTHETIC_CONF_TEMPLATE = """\
 general {{
     base_exp_dir = {exp_dir}
