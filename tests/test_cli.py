@@ -43,7 +43,18 @@ def test_cli_train_then_eval_modes(scene_conf):
     assert np.isfinite(depth).all()
 
     main(["--conf", conf, "--mode", "showcam_10"])
-    assert os.listdir(os.path.join(exp, "cam_poses"))
+    cam_files = os.listdir(os.path.join(exp, "cam_poses"))
+    # npz export AND the frustum PNG (learned/init/GT, reference
+    # dpt_runner.py:618-697)
+    assert any(f.endswith(".npz") for f in cam_files)
+    pngs = [f for f in cam_files if f.endswith(".png")]
+    assert pngs
+    assert os.path.getsize(os.path.join(exp, "cam_poses", pngs[0])) > 5_000
+    with np.load(os.path.join(
+        exp, "cam_poses", [f for f in cam_files if f.endswith(".npz")][0]
+    )) as npz:
+        assert "init_c2w" in npz and "gt_c2w" in npz
+        assert npz["gt_c2w"].shape == npz["init_c2w"].shape
 
 
 def test_cli_interpolate(scene_conf):

@@ -171,3 +171,51 @@ def test_full_vdn_cycle(tmp_path):
         records = [json.loads(line) for line in f]
     assert any("depth_loss" in r for r in records)
     assert all(np.isfinite(r["loss"]) for r in records)
+
+
+@pytest.mark.slow
+def test_vdn_cycle_densenet_leg(tmp_path):
+    """Cycle steps 3-4 with the DEFAULT encoder (DenseNet-161): finetune on
+    depth-from-SDF pseudo-GT, then extract the real 96-channel VDN features
+    (reference finetune_for_vdn.py:53, predict.py:190-193). The mobilenet
+    test above covers the full 5-step loop; this leg proves the flagship
+    densenet path trains and exports end-to-end."""
+    d = str(tmp_path)
+    make_synthetic_scene(d, n_images=2, H=64, W=64)
+
+    # fabricate the depth_from_sdf export (step 2's artifact) directly
+    sdf_dir = os.path.join(d, "image", "depth_from_sdf")
+    os.makedirs(sdf_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        depth = (2.5 + 0.2 * rng.random((64, 64, 1))).astype(np.float32)
+        np.save(os.path.join(sdf_dir, f"sdf_{i:03d}.npy"), depth)
+
+    from vdnerf_tpu.wavelet.finetune import finetune
+
+    logpath = finetune([
+        "-r", os.path.dirname(d), "--case", os.path.basename(d),
+        "--epochs", "1", "-bs", "1", "--image_size", "64",
+        "--encoder_type", "densenet",
+        "--logdir", os.path.join(d, "wavelet_log"),
+        "--val_freq", "100", "--save_freq", "1",
+    ])
+    ckpts = []
+    for root, _dirs, files in os.walk(logpath):
+        ckpts += [os.path.join(root, f) for f in files if f == "model.npz"]
+    assert ckpts
+
+    from vdnerf_tpu.wavelet.predict import main as predict_main
+
+    predict_main([
+        "-ckpt", os.path.dirname(ckpts[0]), "--ckpt_name", "model.npz",
+        "-d", os.path.join(d, "image"),
+        "--encoder_type", "densenet",
+    ])
+    feat_dir = os.path.join(d, "image", "wavelet_feats", "0")
+    feats = sorted(os.listdir(feat_dir))
+    assert len(feats) == 2
+    arr = np.load(os.path.join(feat_dir, feats[0]))
+    # (1, 96, H/2, W/2): the reference's NCHW npy layout, 96 channels
+    assert arr.shape == (1, 96, 32, 32)
+    assert np.isfinite(arr).all()

@@ -91,11 +91,34 @@ def test_finetune_cycle(scene_with_depth, tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # eval path
+    # eval path + mid-training validation logging (reference train.py:49-167)
+    from vdnerf_tpu.io.logging import MetricsWriter
+    from vdnerf_tpu.wavelet.train_lib import log_val_batch
+
     eval_fn = make_eval_fn(model)
     batch = next(iter(loader))
-    disp0, vmetrics = eval_fn(variables, batch)
+    voutputs, vmetrics = eval_fn(variables, batch)
+    disp0 = voutputs[("disp", 0)]
     assert disp0.shape[0] == 2 and np.isfinite(float(vmetrics["loss"]))
+
+    val_dir = os.path.join(str(tmp_path), "val")
+    vw = MetricsWriter(val_dir)
+    log_val_batch(vw, 300, batch, voutputs, vmetrics, log_histogram=True)
+    vw.flush()
+    vw.close()
+    import json
+
+    with open(os.path.join(val_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert recs and "loss" in recs[-1] and "loss/0" in recs[-1]
+    # DecoderWave never emits ("wavelets", 3, "LL"), so LL supervision is
+    # silently skipped — exactly the reference's try/except KeyError at
+    # finetune_for_vdn.py:187-193 (only the 224 decoders emit it)
+    assert "loss_LL3" not in recs[-1]
+    # images + histograms landed in the tensorboard event file
+    evs = [f for f in os.listdir(val_dir) if f.startswith("events")]
+    assert evs
+    assert os.path.getsize(os.path.join(val_dir, evs[0])) > 10_000
 
 
 @pytest.mark.slow

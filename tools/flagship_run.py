@@ -99,7 +99,6 @@ def main(argv=None):
     t_gen = time.time()
     make_compound_scene(
         args.out, n_images=args.views, H=args.img_res, W=args.img_res,
-        focal=1.25 * args.img_res,
     )
     print(f"scene: {args.views} views {args.img_res}^2 rendered in "
           f"{time.time()-t_gen:.0f}s", flush=True)
@@ -171,6 +170,11 @@ def main(argv=None):
     print(f"trained {args.iters} iters in {train_wall:.0f}s "
           f"({rays_per_sec:.0f} rays/s)", flush=True)
 
+    # persist the trained state so the run is resumable/inspectable
+    from vdnerf_tpu.io import checkpoint_path, save_state
+
+    save_state(checkpoint_path(args.out, args.iters), state)
+
     # final full-res masked PSNR over 4 evenly spaced views
     finals = [masked_psnr(i, 1) for i in range(0, sd.n_images, sd.n_images // 4)]
     final_psnr = float(np.mean([f[1] for f in finals]))
@@ -220,7 +224,11 @@ def main(argv=None):
     remap = -np.ones(len(verts), np.int64)
     remap[keep] = np.arange(keep.sum())
     tk = remap[tris[np.all(keep[tris], axis=1)]]
-    chamfer = mesh_chamfer(verts[keep], tk, v_gt, t_gt, n_points=100_000)
+    if keep.sum() and len(tk):
+        chamfer = mesh_chamfer(verts[keep], tk, v_gt, t_gt, n_points=100_000)
+    else:
+        chamfer = {"chamfer": float("inf"), "accuracy": float("inf"),
+                   "completeness": float("inf"), "hausdorff": float("inf")}
     print("chamfer vs analytic compound surface:",
           {k: round(v, 5) for k, v in chamfer.items()}, flush=True)
 

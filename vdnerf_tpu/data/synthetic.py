@@ -223,11 +223,21 @@ def make_compound_scene(
     n_images: int = 24,
     H: int = 256,
     W: int = 256,
-    cam_dist: float = 3.0,
-    focal: float = 320.0,
+    cam_dist: float = 2.2,
+    focal: float | None = None,
     img_dir: str = "image",
 ) -> dict:
-    """Write a nontrivial analytic scene in the reference's on-disk layout."""
+    """Write a nontrivial analytic scene in the reference's on-disk layout.
+
+    Default framing is DTU-like (cam_dist 2.2, focal 1.4*W): the object
+    fills most of the frame. Measured on-TPU: at ~17% frame coverage the
+    mask-BCE on the background-dominated ray batches pushes the SDF's zero
+    set out of the bbox within ~2k iters (|grad sdf|=1 exactly, empty mesh,
+    photometric fit via soft alpha only); at DTU-like coverage the flagship
+    schedule converges to a sharp surface (inv_s ~ 2000) reliably.
+    """
+    if focal is None:
+        focal = 1.4 * W
     img_path = os.path.join(out_dir, img_dir)
     os.makedirs(img_path, exist_ok=True)
 

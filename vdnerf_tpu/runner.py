@@ -429,12 +429,47 @@ class Runner:
 
     # -- camera poses -----------------------------------------------------------
 
-    def show_cam_pose(self) -> str:
-        """Export learned vs initial camera poses (npz; the reference's
-        open3d-based viewer imports a module missing from its repo)."""
+    def get_gt_poses(self, cameras_npz_path: str) -> np.ndarray | None:
+        """GT c2w poses from a cameras npz (reference dpt_runner.py:618-642).
+
+        Accepts the reference's integer-indexed keys (``world_mat_%d``) as
+        well as this framework's stem-keyed convention.
+        """
+        from vdnerf_tpu.data.dataset import load_K_Rt_from_P
+
+        if not os.path.exists(cameras_npz_path):
+            return None
+        camera_dict = np.load(cameras_npz_path)
+        stems = [
+            os.path.splitext(os.path.basename(f))[0]
+            for f in self.scene_data.images_lis
+        ]
+        poses = []
+        for i, stem in enumerate(stems):
+            for key in (f"world_mat_{stem}", f"world_mat_{i}"):
+                if key in camera_dict:
+                    break
+            else:
+                return None
+            scale_key = key.replace("world_mat", "scale_mat")
+            world_mat = camera_dict[key].astype(np.float32)
+            scale_mat = camera_dict.get(
+                scale_key, np.eye(4, dtype=np.float32)
+            ).astype(np.float32)
+            _, pose = load_K_Rt_from_P(None, (world_mat @ scale_mat)[:3, :4])
+            poses.append(pose.astype(np.float32))
+        return np.stack(poses)
+
+    def show_cam_pose(self, gt_cameras_path: str | None = None) -> str:
+        """Export learned vs initial vs GT camera poses: npz + a matplotlib
+        frustum PNG (the reference's open3d viewer, dpt_runner.py:644-697,
+        imports a module missing from its repo)."""
         from vdnerf_tpu.data.cameras import all_learned_c2w, learn_intrin_K
+        from vdnerf_tpu.utils.camvis import plot_cam_poses
 
         out = {"init_c2w": np.asarray(self.scene_data.pose_all)}
+        pose_sets = {"init": out["init_c2w"]}
+        fx = float(self.scene_data.focal)
         if self.tcfg.learnable:
             cams = self.state["cams"]
             out["learned_c2w"] = np.asarray(
@@ -445,9 +480,29 @@ class Runner:
                 self.scene.focal_order,
             )
             out["learned_K"] = np.asarray(K)
+            pose_sets["learned"] = out["learned_c2w"]
+            fx = float(out["learned_K"][0, 0])
+
+        if gt_cameras_path is None:
+            gt_cameras_path = os.path.join(
+                self.scene_data.data_dir,
+                self.conf.get_string(
+                    "dataset.gt_cameras_name",
+                    default=self.scene_data.render_cameras_name,
+                ),
+            )
+        gt = self.get_gt_poses(gt_cameras_path)
+        if gt is not None:
+            out["gt_c2w"] = gt
+            pose_sets["gt"] = gt
+
         path = os.path.join(
             self.base_exp_dir, "cam_poses", f"pose_{self.iter_step:06d}.npz"
         )
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.savez(path, **out)
+        plot_cam_poses(
+            path.replace(".npz", ".png"), pose_sets,
+            self.scene.H, self.scene.W, fx,
+        )
         return path

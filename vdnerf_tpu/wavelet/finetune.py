@@ -16,7 +16,6 @@ import os
 import sys
 
 import jax
-import numpy as np
 
 
 def parse_argument(argv=None):
@@ -68,6 +67,7 @@ def finetune(argv=None):
     from vdnerf_tpu.wavelet.model import WaveletOpts, create_model
     from vdnerf_tpu.wavelet.train_lib import (
         cosine_epoch_lr,
+        log_val_batch,
         make_eval_fn,
         make_finetune_step,
     )
@@ -111,6 +111,7 @@ def finetune(argv=None):
     writer = MetricsWriter(os.path.join(logpath, "train"))
     val_writer = MetricsWriter(os.path.join(logpath, "val"))
     niter = 0
+    last_saved = -1
     test_iter = iter(test_loader)
     for epoch in range(args.epochs):
         lr = float(lr_sched(epoch))
@@ -131,18 +132,21 @@ def finetune(argv=None):
                 except StopIteration:
                     test_iter = iter(test_loader)
                     vbatch = next(test_iter)
-                disp0, vmetrics = eval_fn(variables, vbatch)
-                val_writer.write(niter, {"loss": vmetrics["loss"]})
-                # validation disparity image (reference train.py:113-166)
-                d = np.asarray(disp0[0, ..., 0])
-                rng_d = float(d.max() - d.min()) or 1.0
-                val_writer.write_image(
-                    niter, "disp_0", ((d - d.min()) / rng_d)[..., None]
+                voutputs, vmetrics = eval_fn(variables, vbatch)
+                # eval-split scalars + coefficient/disparity images (+
+                # histograms) with the reference's tag layout
+                # (wavelet/train.py:49-167)
+                log_val_batch(
+                    val_writer, niter, vbatch, voutputs, vmetrics,
+                    output_scales=tuple(args.output_scales),
+                    use_wavelets=args.use_wavelets,
+                    log_histogram=args.log_histogram,
                 )
-                val_writer.write_image(niter, "image_0", np.asarray(vbatch["image"][0]))
         if epoch % args.save_freq == 0:
             save_model(variables, logpath, epoch)
-    save_model(variables, logpath, args.epochs - 1)
+            last_saved = epoch
+    if last_saved != args.epochs - 1:
+        save_model(variables, logpath, args.epochs - 1)
     print(logpath)
     return logpath
 

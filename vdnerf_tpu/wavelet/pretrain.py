@@ -32,6 +32,10 @@ def build_parser():
     p.add_argument("--use_224", action="store_true", default=False)
     p.add_argument("--image_size", type=int, default=448)
     p.add_argument("--max_steps_per_epoch", type=int, default=0)
+    p.add_argument("--val_freq", type=int, default=300,
+                   help="validate on one eval-split minibatch every N iters "
+                        "(reference wavelet/train.py:334)")
+    p.add_argument("--log_histogram", action="store_true")
     return p
 
 
@@ -44,6 +48,8 @@ def pretrain(argv=None):
     from vdnerf_tpu.wavelet.model import WaveletOpts, create_model
     from vdnerf_tpu.wavelet.train_lib import (
         cosine_epoch_lr,
+        log_val_batch,
+        make_eval_fn,
         make_finetune_step,
     )
 
@@ -69,16 +75,31 @@ def pretrain(argv=None):
         image_size=args.image_size, depth_size=args.image_size // 2,
         augment=True,
     )
+    # eval split (DenseDepth zip ships data/nyu2_test.csv); falls back to
+    # held-out train pairs when the test listing is absent
+    try:
+        val_dataset = NYUZipDataset(args.nyu_zip, "data/nyu2_test.csv")
+    except KeyError:
+        val_dataset = dataset
+    val_loader = BatchLoader(
+        val_dataset, args.batch_size, shuffle=False,
+        image_size=args.image_size, depth_size=args.image_size // 2,
+        augment=False,
+    )
 
     # full-model training for pretraining (encoder_only=False)
     init_opt, step_fn = make_finetune_step(
         model, args.learning_rate, encoder_only=False
     )
+    eval_fn = make_eval_fn(model)
     opt_state = init_opt(variables)
     lr_sched = cosine_epoch_lr(args.learning_rate, args.epochs)
     writer = MetricsWriter(os.path.join(logpath, "train"))
+    val_writer = MetricsWriter(os.path.join(logpath, "val"))
 
     niter = 0
+    last_saved = -1
+    val_iter = iter(val_loader)
     for epoch in range(args.epochs):
         lr = float(lr_sched(epoch))
         for i, batch in enumerate(loader):
@@ -91,9 +112,24 @@ def pretrain(argv=None):
             if niter % 100 == 0:
                 print(f"Epoch [{epoch}][{i}] loss {float(metrics['loss']):.4f}")
                 writer.write(niter, {"loss": metrics["loss"], "lr": lr})
+            if niter % args.val_freq == 0:
+                try:
+                    vbatch = next(val_iter)
+                except StopIteration:
+                    val_iter = iter(val_loader)
+                    vbatch = next(val_iter)
+                voutputs, vmetrics = eval_fn(variables, vbatch)
+                # mid-training validation with the reference's image +
+                # histogram logging (wavelet/train.py:49-167)
+                log_val_batch(
+                    val_writer, niter, vbatch, voutputs, vmetrics,
+                    log_histogram=args.log_histogram,
+                )
         if epoch % args.save_freq == 0:
             save_model(variables, logpath, epoch)
-    save_model(variables, logpath, args.epochs - 1)
+            last_saved = epoch
+    if last_saved != args.epochs - 1:
+        save_model(variables, logpath, args.epochs - 1)
     print(logpath)
     return logpath
 

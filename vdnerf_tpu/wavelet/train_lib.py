@@ -143,11 +143,87 @@ def make_finetune_step(model, base_lr: float, encoder_only: bool = True):
 
 
 def make_eval_fn(model):
+    """eval_fn(variables, batch) -> (full outputs dict, metrics dict)."""
+
     @jax.jit
     def eval_fn(variables, batch):
         outputs = model.apply(variables, batch["image"], train=False)
         depth_n = batch["depth"] * batch["mask"]
         _, metrics = multiscale_depth_loss(outputs, depth_n, batch["mask"])
-        return outputs[("disp", 0)], metrics
+        return outputs, metrics
 
     return eval_fn
+
+
+def _norm_img(x):
+    """Per-image min/max normalization (reference utils normalize_image)."""
+    import numpy as np
+
+    a = np.asarray(x, dtype=np.float32)
+    lo, hi = float(a.min()), float(a.max())
+    return (a - lo) / max(hi - lo, 1e-9)
+
+
+def log_val_batch(
+    writer,
+    niter: int,
+    batch: dict,
+    outputs: dict,
+    metrics: dict,
+    output_scales=(0, 1, 2, 3),
+    use_wavelets: bool = True,
+    log_histogram: bool = False,
+    max_images: int = 4,
+) -> None:
+    """Mid-training validation logging with the reference's tag layout
+    (wavelet/train.py:113-166): per-scale loss scalars; color / predicted +
+    GT disparity images; predicted + GT LL and detail-coefficient images;
+    optional histograms of every logged coefficient map."""
+    import numpy as np
+
+    writer.write(niter, {k: v for k, v in metrics.items()})
+
+    depth_n = np.asarray(batch["depth"] * batch["mask"])
+    yl_gt = yh_gt = None
+    if use_wavelets:
+        yl_gt, yh_gt = haar_dwt2_multi(jnp.asarray(depth_n), 4)
+        yl_gt = np.asarray(yl_gt)
+
+    n = min(depth_n.shape[0], max_images)
+    for j in range(n):
+        writer.write_image(niter, f"color/{j}", np.asarray(batch["image"][j]))
+        writer.write_image(niter, f"disp_0_gt/{j}", _norm_img(depth_n[j]))
+        for scale in output_scales:
+            if ("disp", scale) in outputs:
+                writer.write_image(
+                    niter, f"disp_{scale}_pred/{j}",
+                    _norm_img(outputs[("disp", scale)][j]),
+                )
+        if not use_wavelets:
+            continue
+        if ("wavelets", 3, "LL") in outputs:
+            pred_ll = outputs[("wavelets", 3, "LL")][j]
+            writer.write_image(niter, f"LL_3_pred/{j}", _norm_img(pred_ll))
+            writer.write_image(niter, f"LL_3_gt/{j}", _norm_img(yl_gt[j]))
+            if log_histogram:
+                writer.write_histogram(niter, f"hist_LL_3_pred/{j}", pred_ll)
+                writer.write_histogram(niter, f"hist_LL_3_gt/{j}", yl_gt[j])
+        for scale in range(4):
+            for c, coeff in enumerate(("LH", "HL", "HH")):
+                if ("wavelets", scale, coeff) not in outputs:
+                    continue
+                pred = outputs[("wavelets", scale, coeff)][j]
+                gt = np.asarray(yh_gt[scale][c][j])
+                writer.write_image(
+                    niter, f"{coeff}_{scale}_pred/{j}", _norm_img(pred)
+                )
+                writer.write_image(
+                    niter, f"{coeff}_{scale}_gt/{j}", _norm_img(gt)
+                )
+                if log_histogram:
+                    writer.write_histogram(
+                        niter, f"hist_{coeff}_{scale}_pred/{j}", pred
+                    )
+                    writer.write_histogram(
+                        niter, f"hist_{coeff}_{scale}_gt/{j}", gt
+                    )
