@@ -29,7 +29,7 @@ TORCH_BASELINE_RAYS_PER_SEC = 3000.0
 
 
 def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 50,
-                bf16: bool = True):
+                bf16: bool = True, grad_accum: int = 1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -78,7 +78,8 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 50,
     }
     scene = SceneStatic(H=H, W=W)
     state = init_state(params, tcfg, cams, jax.random.PRNGKey(0))
-    step_fn = jax.jit(make_train_step(nets, tcfg, scene))
+    step_fn = jax.jit(make_train_step(nets, tcfg, scene,
+                                      grad_accum=grad_accum))
 
     def make_batch(i):
         img = i % n_images
@@ -120,19 +121,21 @@ def main():
     import jax
 
     results = {}
-    # 4096 currently trips an axon-compiler register-allocation RET_CHECK;
-    # the loop tolerates per-batch failures
-    for batch in (512, 2048, 4096):
+    # monolithic 4096 trips an axon-compiler register-allocation RET_CHECK;
+    # effective 4096/8192 run as grad-accumulated microbatches instead
+    # (train/step.py grad_accum). The loop tolerates per-config failures.
+    for batch, accum in ((512, 1), (2048, 1), (4096, 2), (8192, 4)):
+        label = f"{batch}" if accum == 1 else f"{batch}={accum}x{batch//accum}"
         try:
-            rps, step_time = bench_train(batch)
-            results[batch] = (rps, step_time)
+            rps, step_time = bench_train(batch, grad_accum=accum)
+            results[label] = (rps, step_time)
             print(
-                f"[bench] batch={batch}: {rps:,.0f} rays/s "
+                f"[bench] batch={label}: {rps:,.0f} rays/s "
                 f"({step_time*1e3:.1f} ms/step) on {jax.devices()[0]}",
                 file=sys.stderr,
             )
         except Exception as e:  # noqa: BLE001
-            print(f"[bench] batch={batch} failed: {e}", file=sys.stderr)
+            print(f"[bench] batch={label} failed: {e}", file=sys.stderr)
 
     if not results:
         raise SystemExit("bench failed for all batch sizes")

@@ -112,6 +112,50 @@ def test_sharded_step_matches_single_chip(scene):
         )
 
 
+def test_grad_accum_matches_monolithic(scene):
+    """grad_accum=2 with an all-ones mask reproduces the monolithic step:
+    the per-microbatch normalizers (mask_sum, BCE count) are then exactly
+    proportional, so mean-of-microbatch losses == the full-batch loss (the
+    eikonal ratio differs only by its per-microbatch denominators)."""
+    meta, conf, scene_data, store = scene
+    tcfg, nets, scene_static, state = _setup(conf, scene_data,
+                                             perturb_override=0.0)
+
+    rng = np.random.default_rng(3)
+    batch = store.sample_pixels(0, tcfg.batch_size, rng)
+    batch = dict(batch, mask=np.ones_like(batch["mask"]))
+
+    mono = jax.jit(make_train_step(nets, tcfg, scene_static))
+    s1, m1 = mono(state, batch)
+    accum = jax.jit(make_train_step(nets, tcfg, scene_static, grad_accum=2))
+    s2, m2 = accum(state, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-3)
+    np.testing.assert_allclose(float(m1["psnr"]), float(m2["psnr"]), rtol=2e-3)
+    assert int(s2["step"]) == 1
+    l1 = jax.tree_util.tree_leaves(s1["params"])
+    l2 = jax.tree_util.tree_leaves(s2["params"])
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=5e-3
+        )
+
+
+def test_grad_accum_composes_with_sharding(scene):
+    """2 microbatches per shard on the 8-device mesh: runs, finite, steps."""
+    meta, conf, scene_data, store = scene
+    tcfg, nets, scene_static, state = _setup(conf, scene_data,
+                                             perturb_override=0.0)
+    rng = np.random.default_rng(4)
+    batch = store.sample_pixels(0, tcfg.batch_size, rng)
+    mesh = make_mesh()
+    sharded = make_sharded_train_step(nets, tcfg, scene_static, mesh,
+                                      grad_accum=2)
+    s, m = sharded(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(m["loss"]))
+    assert int(s["step"]) == 1
+
+
 def test_depth_distillation_loss_path(scene, tmp_path):
     """wdepth-mode: a depth head + feature distillation loss trains."""
     meta, conf, scene_data, store = scene

@@ -1,0 +1,242 @@
+"""Component-level TPU profile of the flagship train step.
+
+Breaks the ~14 ms batch-512 training step into its compute components and
+times each as its own jitted program (dependency-chained lax.scan loops, so
+the axon backend's memoization and the ~30-45 ms host-sync tunnel RTT don't
+pollute the numbers — see CLAUDE.md). Reports per-component ms, share of the
+full step, and achieved TF/s against an analytic FLOP estimate, answering
+"where do the remaining 2/3 of peak go?" (VERDICT round-1 weak #4).
+
+Writes docs/PROFILE_r02.json and prints a table.
+
+Usage: python tools/profile_step.py [--batch 512] [--iters 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def mlp_flops(dims) -> float:
+    return float(sum(2 * a * b for a, b in zip(dims[:-1], dims[1:])))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--iters", type=int, default=40)
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--out", type=str, default="docs/PROFILE_r02.json")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vdnerf_tpu.models.precision import enable_bf16
+
+    enable_bf16(not args.fp32)
+
+    from __graft_entry__ import _full_size_setup
+    from vdnerf_tpu.data.dataset import near_far_from_sphere
+    from vdnerf_tpu.models.fields import (
+        nerf_apply,
+        render_net_apply,
+        sdf_value,
+        sdf_value_grad_feat,
+    )
+    from vdnerf_tpu.ops.renderer import render
+    from vdnerf_tpu.ops.sampling import sample_pdf, transmittance, up_sample
+    from vdnerf_tpu.train import SceneStatic, TrainConfig, init_state
+    from vdnerf_tpu.train.step import make_train_step
+
+    B = args.batch
+    nets, params, (rays_o, rays_d, near, far) = _full_size_setup(batch=B)
+    print(f"device: {jax.devices()[0]}, batch {B}", file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+
+    def timed(name, fn, x0, iters=args.iters):
+        """Time fn(x)->(x-like) chained `iters` times inside one jit."""
+
+        @jax.jit
+        def loop(x):
+            def body(c, _):
+                return fn(c), ()
+
+            c, _ = jax.lax.scan(body, x, None, length=iters)
+            return c
+
+        r = loop(x0)
+        jax.block_until_ready(r)  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = loop(r)  # chained on previous output -> not memoizable
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - t0)
+        ms = best / iters * 1e3
+        results[name] = ms
+        print(f"  {name:<28s} {ms:8.3f} ms", file=sys.stderr)
+        return ms
+
+    results: dict[str, float] = {}
+
+    n_s = nets.renderer.n_samples            # 64
+    n_imp = nets.renderer.n_importance       # 64
+    n_out = nets.renderer.n_outside          # 32
+    per_round = n_imp // nets.renderer.up_sample_steps
+
+    pts64 = jax.random.normal(key, (B * n_s, 3)) * 0.5
+    pts128 = jax.random.normal(key, (B * (n_s + n_imp), 3)) * 0.5
+    pts160 = jnp.concatenate(
+        [jax.random.normal(key, (B * (n_s + n_imp + n_out), 3)) * 0.5,
+         jnp.ones((B * (n_s + n_imp + n_out), 1))], axis=-1)
+    dirs128 = pts128 / jnp.linalg.norm(pts128, axis=-1, keepdims=True)
+
+    # 1. coarse SDF (the up-sample ladder's stop-gradient evals)
+    def sdf_q(x):
+        s = sdf_value(nets.sdf, params["sdf"], x)
+        return x * 1.000001 + 1e-20 * jnp.mean(s)
+    timed("sdf_fwd_64spp", sdf_q, pts64)
+    # 2. fused value+grad+feature SDF (the core query)
+    def core_q(x):
+        s, g, f = sdf_value_grad_feat(nets.sdf, params["sdf"], x)
+        return x * 1.000001 + 1e-20 * (jnp.mean(s) + jnp.mean(g) + jnp.mean(f))
+    timed("sdf_valgradfeat_128spp", core_q, pts128)
+    # 3. color head
+    feat = jax.random.normal(key, (B * (n_s + n_imp), nets.color.d_feature))
+    def color_q(x):
+        c = render_net_apply(nets.color, params["color"], x, dirs128, dirs128,
+                             feat)
+        return x * 1.000001 + 1e-20 * jnp.mean(c)
+    timed("color_net_128spp", color_q, pts128)
+    # 4. background NeRF over 160 samples
+    def nerf_q(x):
+        d, c, _ = nerf_apply(nets.nerf, params["nerf"], x,
+                             jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                              (x.shape[0], 3)))
+        return x * 1.000001 + 1e-20 * (jnp.mean(d) + jnp.mean(c))
+    timed("bg_nerf_160spp", nerf_q, pts160)
+    # 5. one up-sample round (alpha estimate + inverse-CDF + merge happens
+    #    4x per step at growing S)
+    z0 = jnp.sort(jax.random.uniform(key, (B, n_s)) * 2.0 + 2.0, axis=-1)
+    sdf0 = jax.random.normal(key, (B, n_s)) * 0.1
+
+    def ups_q(z):
+        new_z = up_sample(rays_o, rays_d, z, sdf0, per_round, 64.0)
+        return z * 1.000001 + 1e-20 * jnp.mean(new_z)
+    timed("up_sample_round(64spp)", ups_q, z0)
+    # 6. sample_pdf alone at the LAST round's shape (widest mask tensor)
+    z_last = jnp.sort(jax.random.uniform(key, (B, n_s + 3 * per_round)) * 2.0
+                      + 2.0, axis=-1)
+    w_last = jax.random.uniform(key, (B, n_s + 3 * per_round - 1)) + 0.01
+
+    def pdf_q(z):
+        s = sample_pdf(z, w_last, per_round, det=True)
+        return z * 1.000001 + 1e-20 * jnp.mean(s)
+    timed(f"sample_pdf({n_s + 3 * per_round}bins)", pdf_q, z_last)
+    # 7. transmittance/compositing math at full width
+    alpha0 = jax.random.uniform(key, (B, n_s + n_imp + n_out)) * 0.2
+
+    def comp_q(a):
+        w = a * transmittance(a)
+        return a * 1.000001 + 1e-20 * jnp.mean(w)
+    timed("transmittance_160", comp_q, alpha0)
+
+    # 8. full forward render
+    def fwd_q(o):
+        out = render(nets, params, o, rays_d, near, far,
+                     perturb_overwrite=0,
+                     background_rgb=jnp.ones((1, 3)),
+                     cos_anneal_ratio=1.0)
+        return o * 1.000001 + 1e-20 * jnp.mean(out["color_fine"])
+    timed("full_render_fwd", fwd_q, rays_o, iters=max(args.iters // 2, 10))
+
+    # 9. full training step (render + all losses + bwd + adam)
+    tcfg = TrainConfig(batch_size=B)
+    scene = SceneStatic(H=64, W=64)
+    cams = {
+        "pose_all": jnp.tile(jnp.eye(4)[None], (2, 1, 1)).at[:, 2, 3].set(-2.2),
+        "intrin_inv_all": jnp.tile(jnp.eye(4)[None], (2, 1, 1)),
+    }
+    state = init_state(params, tcfg, cams, key)
+    step = make_train_step(nets, tcfg, scene)
+    rng = np.random.default_rng(0)
+    batch0 = {
+        "img_idx": jnp.int32(0),
+        "pixels_x": jnp.asarray(rng.integers(0, 64, B), jnp.int32),
+        "pixels_y": jnp.asarray(rng.integers(0, 64, B), jnp.int32),
+        "color": jnp.asarray(rng.uniform(0, 1, (B, 3)), jnp.float32),
+        "mask": jnp.ones((B, 1), jnp.float32),
+        "feats": jnp.zeros((B, 1), jnp.float32),
+    }
+
+    @jax.jit
+    def step_loop(state):
+        def body(s, _):
+            s2, _m = step(s, batch0)  # state chains -> distinct every iter
+            return s2, ()
+        s, _ = jax.lax.scan(body, state, None, length=max(args.iters // 2, 10))
+        return s
+
+    s = step_loop(state)
+    jax.block_until_ready(s["step"])
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = step_loop(s)
+        jax.block_until_ready(s["step"])
+        best = min(best, time.perf_counter() - t0)
+    step_ms = best / max(args.iters // 2, 10) * 1e3
+    results["full_train_step"] = step_ms
+    print(f"  {'full_train_step':<28s} {step_ms:8.3f} ms", file=sys.stderr)
+
+    # ---- analytic FLOP accounting (fwd only, per step)
+    sdf_f = mlp_flops(nets.sdf.dims)
+    color_f = mlp_flops(nets.color.dims)
+    # NeRF trunk: 8 layers of W + heads; approximate with dims
+    W = nets.nerf.W
+    nerf_f = mlp_flops((nets.nerf.input_ch,) + (W,) * nets.nerf.D) + \
+        2 * W * (W + 1) + 2 * (W + nets.nerf.input_ch_view) * (W // 2) + \
+        2 * (W // 2) * 3
+    n_core = B * (n_s + n_imp)
+    flops = {
+        "sdf_fwd_64spp": B * n_s * sdf_f,
+        "sdf_valgradfeat_128spp": n_core * sdf_f * 4,  # value + 3 jvp lanes
+        "color_net_128spp": n_core * color_f,
+        "bg_nerf_160spp": B * (n_s + n_imp + n_out) * nerf_f,
+        "full_train_step": (
+            B * (n_s + 3 * per_round) * sdf_f            # ladder evals
+            + n_core * sdf_f * 4 + n_core * color_f
+            + B * (n_s + n_imp + n_out) * nerf_f
+        ) * 3.0,  # fwd + ~2x bwd
+    }
+    report = {"batch": B, "bf16": not args.fp32, "components_ms": results,
+              "tflops_est": {}}
+    print(f"\n{'component':<28s} {'ms':>8s} {'% step':>7s} {'TF/s':>7s}",
+          file=sys.stderr)
+    for name, ms in results.items():
+        share = 100.0 * ms / step_ms
+        tfs = flops.get(name, 0) / (ms * 1e-3) / 1e12 if name in flops else None
+        report["tflops_est"][name] = round(tfs, 1) if tfs else None
+        print(f"{name:<28s} {ms:8.3f} {share:6.1f}% "
+              f"{tfs:7.1f}" if tfs else f"{name:<28s} {ms:8.3f} {share:6.1f}%",
+              file=sys.stderr)
+    report["rays_per_sec"] = round(B / (step_ms * 1e-3), 1)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({"rays_per_sec": report["rays_per_sec"],
+                      "step_ms": round(step_ms, 3)}))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -58,14 +58,18 @@ def make_sharded_train_step(
     tcfg: TrainConfig,
     scene: SceneStatic,
     mesh: Mesh,
+    grad_accum: int = 1,
 ):
     """shard_map'd train step: state replicated, rays sharded, grads psum'd.
 
     Per-shard perturb RNG is decorrelated by folding in the axis index, so
     multi-chip training is statistically (not bitwise) equivalent to
-    single-chip.
+    single-chip. ``grad_accum`` composes: each shard scans its microbatches,
+    then the accumulated grads are psum'd once.
     """
-    inner = make_train_step(nets, tcfg, scene, axis_name=AXIS)
+    inner = make_train_step(
+        nets, tcfg, scene, axis_name=AXIS, grad_accum=grad_accum
+    )
 
     state_spec = P()  # replicated pytree
     sharded = shard_map(

@@ -227,11 +227,15 @@ class Runner:
         if len(devices) > 1:
             mesh = make_mesh(devices)
             step_fn = make_sharded_train_step(
-                self.nets, self.tcfg, self.scene, mesh
+                self.nets, self.tcfg, self.scene, mesh,
+                grad_accum=self.tcfg.grad_accum,
             )
             place = lambda b: shard_batch(b, mesh)  # noqa: E731
         else:
-            step_fn = jax.jit(make_train_step(self.nets, self.tcfg, self.scene))
+            step_fn = jax.jit(make_train_step(
+                self.nets, self.tcfg, self.scene,
+                grad_accum=self.tcfg.grad_accum,
+            ))
             place = lambda b: b  # noqa: E731
 
         res_step = self.tcfg.end_iter - self.iter_step

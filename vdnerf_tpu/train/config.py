@@ -28,6 +28,9 @@ class TrainConfig:
     igr_weight: float = 0.1
     mask_weight: float = 0.0
     use_mask: bool = False
+    # microbatch count for gradient accumulation (large effective batches;
+    # the axon TPU compiler RET_CHECKs on monolithic batch>=4096 programs)
+    grad_accum: int = 1
     # depth distillation (wdepth confs)
     extract_depth: bool = False
     depth_start_iter: int = 0
@@ -67,6 +70,7 @@ class TrainConfig:
             igr_weight=t.get_float("igr_weight"),
             mask_weight=t.get_float("mask_weight"),
             use_mask=t.get_bool("use_mask", default=False),
+            grad_accum=t.get_int("grad_accum", default=1),
             extract_depth=extract_depth,
             rgb_dims=t.get_int("rgb_dims", default=3) if extract_depth else 3,
             learnable=learnable,

@@ -230,12 +230,72 @@ def make_train_step(
     tcfg: TrainConfig,
     scene: SceneStatic,
     axis_name: str | None = None,
+    grad_accum: int = 1,
 ):
-    """Returns train_step(state, batch) -> (state, metrics). Pure, jittable."""
+    """Returns train_step(state, batch) -> (state, metrics). Pure, jittable.
+
+    ``grad_accum`` > 1 splits the ray batch into that many microbatches and
+    accumulates gradients through a ``lax.scan`` before one optimizer step.
+    This is the large-effective-batch path: the axon TPU compiler RET_CHECKs
+    (register allocation) on the monolithic batch-4096 program, so e.g.
+    effective 4096 runs as 2x2048 with identical peak register pressure to
+    batch 2048. Semantics: the mean of per-microbatch losses (each
+    normalized by its own mask/eikonal sums) — the same estimator
+    non-psum'd data parallelism would produce; identical to the monolithic
+    loss when the per-microbatch normalizers are equal.
+    """
     loss_fn = make_loss_fn(nets, tcfg, scene, axis_name)
     main_opt, pose_opt, focal_opt, pose_sched, focal_sched = make_optimizers(
         tcfg
     )
+
+    def value_and_grad_accum(trainables, batch, step, key):
+        if grad_accum <= 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                trainables, batch, step, key
+            )
+
+        img_idx = batch["img_idx"]
+
+        def split(x):
+            x = jnp.asarray(x)
+            return x.reshape((grad_accum, -1) + x.shape[1:])
+
+        micro = {
+            k: split(v) for k, v in batch.items() if k != "img_idx"
+        }
+        keys = jax.random.split(key, grad_accum)
+
+        def body(carry, xs):
+            acc_g, acc_loss, acc_metrics = carry
+            sub_batch, k = xs
+            sub_batch = dict(sub_batch, img_idx=img_idx)
+            (loss, metrics), g = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(trainables, sub_batch, step, k)
+            acc_g = jax.tree_util.tree_map(jnp.add, acc_g, g)
+            acc_metrics = jax.tree_util.tree_map(
+                jnp.add, acc_metrics, metrics
+            )
+            return (acc_g, acc_loss + loss, acc_metrics), ()
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, trainables)
+        # trace one microbatch to get the metrics structure
+        first = {k: v[0] for k, v in micro.items()}
+        first = dict(first, img_idx=img_idx)
+        _, m0 = jax.eval_shape(
+            lambda t: loss_fn(t, first, step, keys[0]), trainables
+        )
+        zero_m = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), m0
+        )
+        (acc_g, acc_loss, acc_m), _ = jax.lax.scan(
+            body, (zero_g, jnp.zeros(()), zero_m), (micro, keys)
+        )
+        inv = 1.0 / grad_accum
+        acc_g = jax.tree_util.tree_map(lambda g: g * inv, acc_g)
+        acc_m = jax.tree_util.tree_map(lambda m: m * inv, acc_m)
+        return (acc_loss * inv, acc_m), acc_g
 
     def train_step(state, batch):
         step = state["step"]
@@ -243,9 +303,9 @@ def make_train_step(
         if axis_name is not None:
             sub = jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
 
-        (loss, metrics), (g_params, g_cams) = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )((state["params"], state["cams"]), batch, step, sub)
+        (loss, metrics), (g_params, g_cams) = value_and_grad_accum(
+            (state["params"], state["cams"]), batch, step, sub
+        )
         if axis_name is not None:
             g_params = jax.lax.psum(g_params, axis_name)
             g_cams = jax.lax.psum(g_cams, axis_name)
