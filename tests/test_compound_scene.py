@@ -1,0 +1,73 @@
+"""Compound analytic scene generator (data/synthetic.py) — both backgrounds.
+
+The textured variant is the womsk flagship-run setting: 3-channel images
+with a view-consistent procedural backdrop, dummy all-white training masks
+(so the reference's img*mask + (1-mask) composite is the identity), and the
+true object masks under eval_mask/ for metrics only.
+"""
+
+from __future__ import annotations
+
+import os
+
+import cv2 as cv
+import numpy as np
+
+from vdnerf_tpu.data.synthetic import (
+    backdrop_texture,
+    compound_sdf,
+    make_compound_scene,
+)
+
+
+def test_white_scene_layout(tmp_path):
+    out = str(tmp_path / "white")
+    make_compound_scene(out, n_images=2, H=48, W=48, background="white")
+    img = cv.imread(os.path.join(out, "image", "000.png"), -1)
+    assert img.shape == (48, 48, 4)  # RGBA: alpha is the object mask
+    a = img[..., 3]
+    assert set(np.unique(a)) <= {0, 255}
+    assert 0.05 < (a > 127).mean() < 0.95
+    # background pixels are pure white
+    assert (img[..., :3][a == 0] == 255).all()
+
+
+def test_textured_scene_layout(tmp_path):
+    out = str(tmp_path / "tex")
+    make_compound_scene(out, n_images=2, H=48, W=48, background="textured")
+    img = cv.imread(os.path.join(out, "image", "000.png"), -1)
+    assert img.shape == (48, 48, 3)  # womsk data: no alpha channel
+    mask = cv.imread(os.path.join(out, "image", "mask", "000.png"), 0)
+    assert (mask == 255).all()  # dummy mask -> composite is identity
+    ev = cv.imread(os.path.join(out, "image", "eval_mask", "000.png"), 0)
+    assert 0.05 < (ev > 127).mean() < 0.95
+    # backdrop pixels carry real texture (not constant, not white)
+    bg = img[ev == 0]
+    assert bg.std() > 10
+    assert not (bg == 255).all()
+    # cameras npz at both conventional locations
+    assert os.path.exists(os.path.join(out, "image", "cameras_sphere.npz"))
+    assert os.path.exists(os.path.join(out, "cameras_sphere.npz"))
+
+
+def test_backdrop_texture_view_consistent():
+    """Texture is a function of the 3-D point only (view consistency)."""
+    pts = np.random.default_rng(0).normal(size=(64, 3)) * 4.0
+    a = backdrop_texture(pts)
+    b = backdrop_texture(pts.copy())
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (64, 3)
+    assert (a >= 0).all() and (a <= 1).all()
+
+
+def test_compound_sdf_is_metric():
+    """|sdf| is a lower bound on the distance to the zero set; gradient has
+    unit norm away from the medial axis (spot check)."""
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(200, 3)) * 0.6
+    eps = 1e-5
+    for ax in range(3):
+        d = np.zeros(3)
+        d[ax] = eps
+        g = (compound_sdf(pts + d) - compound_sdf(pts - d)) / (2 * eps)
+        assert np.abs(g).max() <= 1.0 + 1e-3

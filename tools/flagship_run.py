@@ -13,10 +13,21 @@ SDF, 24 shaded views at 256x256), then
 - measure Chamfer distance against the analytic ground-truth surface
   (the same field extracted at 512^3).
 
-Masked mode (use_mask=True, mask_weight=0.1): pure-white synthetic
-backgrounds are adversarial for mask-free NeuS training (the unbounded
-background NeRF absorbs the object; see CLAUDE.md) — the womsk confs target
-real textured captures.
+Train modes:
+
+- ``womsk`` (default): the exact womsk_white.conf loss configuration
+  (use_mask=False, mask_weight=0, white bkgd, n_outside=32) on a scene with
+  a TEXTURED backdrop — the real-capture setting those confs target. The
+  bg NeRF has real work to do (modeling the backdrop), so the foreground/
+  background factorization is well-posed.
+- ``masked``: mask-supervised training on the white-background scene with
+  ``n_outside=0``, the classic NeuS wmask recipe. Measured: combining mask
+  BCE WITH the background NeRF (a combination no reference conf ships) is
+  degenerate — the bg NeRF can satisfy both the color and the mask loss and
+  the SDF's zero set leaves the bbox (s_val stuck at init, empty mesh).
+
+PSNR is always reported over the true object masks (kept in eval_mask/ for
+the womsk scene), so the two modes are comparable.
 
 Writes results to <out>/flagship_report.json and prints a summary.
 
@@ -34,24 +45,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def edge_manifold_stats(tris) -> dict:
-    """Watertightness check: closed 2-manifolds have every edge on exactly
-    two triangles."""
-    import numpy as np
-
-    edges = np.concatenate(
-        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0
-    )
-    edges = np.sort(edges, axis=1)
-    _, counts = np.unique(edges, axis=0, return_counts=True)
-    return {
-        "n_edges": int(len(counts)),
-        "boundary_edges": int((counts == 1).sum()),
-        "nonmanifold_edges": int((counts > 2).sum()),
-        "watertight": bool((counts == 2).all()),
-    }
-
-
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=25000)
@@ -62,6 +55,10 @@ def main(argv=None):
     p.add_argument("--img-res", type=int, default=256)
     p.add_argument("--val-every", type=int, default=2500)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--train-mode", choices=["womsk", "masked"],
+                   default="womsk")
+    p.add_argument("--fused", action="store_true",
+                   help="use the fused Pallas MLP kernels")
     args = p.parse_args(argv)
 
     import jax
@@ -76,6 +73,7 @@ def main(argv=None):
     from vdnerf_tpu.data.rays import RayStore
     from vdnerf_tpu.data.synthetic import make_compound_scene
     from vdnerf_tpu.mesh import extract_geometry, mesh_chamfer, save_ply
+    from vdnerf_tpu.mesh.clean import clean_mesh, edge_stats
     from vdnerf_tpu.models.fields import (
         NeRFConfig,
         RenderConfig,
@@ -93,15 +91,23 @@ def main(argv=None):
     from vdnerf_tpu.train.validate import ImageRenderer, val_image_metrics
     from vdnerf_tpu.utils.hocon import Config
 
+    from vdnerf_tpu.models.precision import set_fused_mlp
+
+    if args.fused:
+        set_fused_mlp(True)
+
     os.makedirs(args.out, exist_ok=True)
     print(f"devices: {jax.devices()}", flush=True)
 
+    womsk = args.train_mode == "womsk"
     t_gen = time.time()
     make_compound_scene(
         args.out, n_images=args.views, H=args.img_res, W=args.img_res,
+        background="textured" if womsk else "white",
     )
-    print(f"scene: {args.views} views {args.img_res}^2 rendered in "
-          f"{time.time()-t_gen:.0f}s", flush=True)
+    print(f"scene: {args.views} views {args.img_res}^2 "
+          f"({args.train_mode}) rendered in {time.time()-t_gen:.0f}s",
+          flush=True)
 
     conf = Config({
         "dataset": {
@@ -113,16 +119,18 @@ def main(argv=None):
     sd = SceneData(conf["dataset"])
     store = RayStore(sd.images_lis, sd.masks_lis)
 
-    # flagship dimensions: the womsk_white.conf defaults
+    # flagship dimensions: the womsk_white.conf defaults. masked mode drops
+    # the bg NeRF (n_outside=0, NeuS wmask recipe) — see module docstring.
     nets = NeuSNetworks(
         sdf=SDFConfig(), color=RenderConfig(), nerf=NeRFConfig(),
-        renderer=RendererConfig(),
+        renderer=RendererConfig(n_outside=32 if womsk else 0),
     )
     tcfg = TrainConfig(
         batch_size=args.batch, end_iter=args.iters,
         warm_up_end=max(args.iters // 50, 100),
         anneal_end=max(args.iters // 4, 1000),
-        use_white_bkgd=True, use_mask=True, mask_weight=0.1,
+        use_white_bkgd=True,
+        use_mask=not womsk, mask_weight=0.0 if womsk else 0.1,
     )
     params = init_params(jax.random.PRNGKey(0), nets, 0.3)
     cams = {
@@ -134,12 +142,30 @@ def main(argv=None):
     step = jax.jit(make_train_step(nets, tcfg, scene))
     img_renderer = ImageRenderer(nets, tcfg, scene)
 
+    def eval_mask_at(idx: int, res_level: int) -> np.ndarray:
+        """Object mask for metrics: eval_mask/ for the womsk scene (training
+        masks there are dummy all-white), the training mask otherwise."""
+        if womsk:
+            import cv2 as cv
+
+            stem = os.path.splitext(os.path.basename(sd.images_lis[idx]))[0]
+            m = cv.imread(
+                os.path.join(args.out, "image", "eval_mask", f"{stem}.png"), 0
+            ) / 255.0
+            if res_level > 1:
+                m = cv.resize(
+                    m, (sd.W // res_level, sd.H // res_level),
+                    interpolation=cv.INTER_AREA,
+                )
+            return m[..., None]
+        return store.mask_at(idx, res_level)
+
     def masked_psnr(idx: int, res_level: int) -> tuple[float, float, float]:
         out = img_renderer.render_image(
             state["params"], cams, idx, res_level, int(state["step"])
         )
         gt = store.image_at(idx, res_level) / 255.0
-        mask = (store.mask_at(idx, res_level) > 0.1).astype(np.float32)
+        mask = (eval_mask_at(idx, res_level) > 0.1).astype(np.float32)
         l1, psnr = val_image_metrics(out["img"], gt, mask)
         return l1, psnr, out["gradient_error"]
 
@@ -197,8 +223,29 @@ def main(argv=None):
           f"{args.resolution}^3 in {mesh_wall:.0f}s", flush=True)
     save_ply(os.path.join(args.out, "flagship_mesh.ply"), verts, tris)
 
-    manifold = edge_manifold_stats(tris)
-    print(f"watertight: {manifold}", flush=True)
+    manifold = edge_stats(tris)
+    print(f"raw mesh edges: {manifold}", flush=True)
+
+    # visual-hull cleaning: mask-free training leaves spurious far-field
+    # shells GROWN OUT of the true surface (unconstrained SDF); cull
+    # triangles outside the multi-view hull of the object masks (the
+    # NeuS-ecosystem clean_mesh step; vdnerf_tpu/mesh/clean.py)
+    eval_masks = np.stack(
+        [
+            (eval_mask_at(i, 1)[..., 0] > 0.5)
+            for i in range(sd.n_images)
+        ]
+    ).astype(np.uint8)
+    world_mats = np.stack(sd.world_mats_np)
+    cverts, ctris, clean_stats = clean_mesh(
+        verts, tris, eval_masks, world_mats
+    )
+    cmanifold = edge_stats(ctris)
+    print(f"cleaned: {clean_stats}", flush=True)
+    print(f"cleaned mesh edges: {cmanifold}", flush=True)
+    save_ply(
+        os.path.join(args.out, "flagship_mesh_clean.ply"), cverts, ctris
+    )
 
     # ground truth: the analytic compound SDF extracted at the same res
     def neg_gt_sdf(pts):
@@ -218,18 +265,12 @@ def main(argv=None):
         sd.object_bbox_min, sd.object_bbox_max, args.resolution, 0.0,
         neg_gt_sdf,
     )
-    # clip away any far-field shells outside the object's 0.8-radius budget
-    r = np.linalg.norm(verts, axis=-1)
-    keep = r < 0.9
-    remap = -np.ones(len(verts), np.int64)
-    remap[keep] = np.arange(keep.sum())
-    tk = remap[tris[np.all(keep[tris], axis=1)]]
-    if keep.sum() and len(tk):
-        chamfer = mesh_chamfer(verts[keep], tk, v_gt, t_gt, n_points=100_000)
+    if len(cverts) and len(ctris):
+        chamfer = mesh_chamfer(cverts, ctris, v_gt, t_gt, n_points=100_000)
     else:
         chamfer = {"chamfer": float("inf"), "accuracy": float("inf"),
                    "completeness": float("inf"), "hausdorff": float("inf")}
-    print("chamfer vs analytic compound surface:",
+    print("chamfer (cleaned mesh) vs analytic compound surface:",
           {k: round(v, 5) for k, v in chamfer.items()}, flush=True)
 
     report = {
@@ -237,7 +278,8 @@ def main(argv=None):
             "iters": args.iters, "batch": args.batch, "views": args.views,
             "img_res": args.img_res, "mesh_res": args.resolution,
             "model": "flagship womsk_white dims (8x256 SDF, 64+64+32 samples)",
-            "bf16": not args.fp32,
+            "train_mode": args.train_mode,
+            "bf16": not args.fp32, "fused_mlp": args.fused,
         },
         "train_wall_s": round(train_wall, 1),
         "rays_per_sec": round(rays_per_sec, 1),
@@ -248,6 +290,10 @@ def main(argv=None):
             "n_verts": int(len(verts)), "n_tris": int(len(tris)),
             "extract_wall_s": round(mesh_wall, 1), **manifold,
         },
+        "mesh_clean": {
+            "n_verts": int(len(cverts)), "n_tris": int(len(ctris)),
+            **clean_stats, **cmanifold,
+        },
         "chamfer": {k: round(v, 6) for k, v in chamfer.items()},
     }
     with open(os.path.join(args.out, "flagship_report.json"), "w") as f:
@@ -255,7 +301,8 @@ def main(argv=None):
     print(json.dumps({
         "final_masked_psnr": report["final_masked_psnr_fullres"],
         "chamfer": report["chamfer"]["chamfer"],
-        "watertight": manifold["watertight"],
+        "watertight": cmanifold["watertight"],
+        "boundary_edges": cmanifold["boundary_edges"],
         "train_wall_s": report["train_wall_s"],
     }), flush=True)
     return report

@@ -62,23 +62,28 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(0)
 
-    def timed(name, fn, x0, iters=args.iters):
-        """Time fn(x)->(x-like) chained `iters` times inside one jit."""
+    def timed(name, fn, x0, iters=args.iters, consts=()):
+        """Time fn(x, *consts)->(x-like) chained `iters` times inside one jit.
+
+        Large arrays the body closes over must go in `consts`: closed-over
+        arrays become literals in the serialized program, and the axon
+        remote-compile tunnel rejects big request bodies (HTTP 413).
+        """
 
         @jax.jit
-        def loop(x):
+        def loop(x, *cs):
             def body(c, _):
-                return fn(c), ()
+                return fn(c, *cs), ()
 
             c, _ = jax.lax.scan(body, x, None, length=iters)
             return c
 
-        r = loop(x0)
+        r = loop(x0, *consts)
         jax.block_until_ready(r)  # compile + warm
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            r = loop(r)  # chained on previous output -> not memoizable
+            r = loop(r, *consts)  # chained on previous output -> not memoizable
             jax.block_until_ready(r)
             best = min(best, time.perf_counter() - t0)
         ms = best / iters * 1e3
@@ -112,11 +117,10 @@ def main(argv=None):
     timed("sdf_valgradfeat_128spp", core_q, pts128)
     # 3. color head
     feat = jax.random.normal(key, (B * (n_s + n_imp), nets.color.d_feature))
-    def color_q(x):
-        c = render_net_apply(nets.color, params["color"], x, dirs128, dirs128,
-                             feat)
+    def color_q(x, dirs, ft):
+        c = render_net_apply(nets.color, params["color"], x, dirs, dirs, ft)
         return x * 1.000001 + 1e-20 * jnp.mean(c)
-    timed("color_net_128spp", color_q, pts128)
+    timed("color_net_128spp", color_q, pts128, consts=(dirs128, feat))
     # 4. background NeRF over 160 samples
     def nerf_q(x):
         d, c, _ = nerf_apply(nets.nerf, params["nerf"], x,
@@ -129,19 +133,20 @@ def main(argv=None):
     z0 = jnp.sort(jax.random.uniform(key, (B, n_s)) * 2.0 + 2.0, axis=-1)
     sdf0 = jax.random.normal(key, (B, n_s)) * 0.1
 
-    def ups_q(z):
-        new_z = up_sample(rays_o, rays_d, z, sdf0, per_round, 64.0)
+    def ups_q(z, o, d, s):
+        new_z = up_sample(o, d, z, s, per_round, 64.0)
         return z * 1.000001 + 1e-20 * jnp.mean(new_z)
-    timed("up_sample_round(64spp)", ups_q, z0)
+    timed("up_sample_round(64spp)", ups_q, z0, consts=(rays_o, rays_d, sdf0))
     # 6. sample_pdf alone at the LAST round's shape (widest mask tensor)
     z_last = jnp.sort(jax.random.uniform(key, (B, n_s + 3 * per_round)) * 2.0
                       + 2.0, axis=-1)
     w_last = jax.random.uniform(key, (B, n_s + 3 * per_round - 1)) + 0.01
 
-    def pdf_q(z):
-        s = sample_pdf(z, w_last, per_round, det=True)
+    def pdf_q(z, w):
+        s = sample_pdf(z, w, per_round, det=True)
         return z * 1.000001 + 1e-20 * jnp.mean(s)
-    timed(f"sample_pdf({n_s + 3 * per_round}bins)", pdf_q, z_last)
+    timed(f"sample_pdf({n_s + 3 * per_round}bins)", pdf_q, z_last,
+          consts=(w_last,))
     # 7. transmittance/compositing math at full width
     alpha0 = jax.random.uniform(key, (B, n_s + n_imp + n_out)) * 0.2
 
@@ -151,13 +156,14 @@ def main(argv=None):
     timed("transmittance_160", comp_q, alpha0)
 
     # 8. full forward render
-    def fwd_q(o):
-        out = render(nets, params, o, rays_d, near, far,
+    def fwd_q(o, d, nr, fr):
+        out = render(nets, params, o, d, nr, fr,
                      perturb_overwrite=0,
                      background_rgb=jnp.ones((1, 3)),
                      cos_anneal_ratio=1.0)
         return o * 1.000001 + 1e-20 * jnp.mean(out["color_fine"])
-    timed("full_render_fwd", fwd_q, rays_o, iters=max(args.iters // 2, 10))
+    timed("full_render_fwd", fwd_q, rays_o, iters=max(args.iters // 2, 10),
+          consts=(rays_d, near, far))
 
     # 9. full training step (render + all losses + bwd + adam)
     tcfg = TrainConfig(batch_size=B)

@@ -189,10 +189,40 @@ def _sphere_trace(
     return t, hit
 
 
+def backdrop_texture(pts: np.ndarray) -> np.ndarray:
+    """View-consistent procedural texture on the backdrop sphere surface.
+
+    Multi-frequency sinusoids of the 3-D hit point: smooth, colorful, and
+    rich enough that a background NeRF must actually model it (parallax
+    across views disambiguates it from the foreground object).
+    """
+    p = np.asarray(pts, dtype=np.float64)
+    r = np.linalg.norm(p, axis=-1, keepdims=True) + 1e-9
+    u = p / r
+    c0 = 0.5 + 0.35 * np.sin(3.0 * u[..., 0] + 5.0 * u[..., 2])
+    c1 = 0.5 + 0.35 * np.sin(4.0 * u[..., 1] - 2.0 * u[..., 0] + 1.3)
+    c2 = 0.5 + 0.35 * np.cos(5.0 * u[..., 2] + 3.0 * u[..., 1] - 0.7)
+    stripes = 0.12 * np.sin(17.0 * u[..., 0]) * np.sin(13.0 * u[..., 1])
+    return np.clip(np.stack([c0, c1, c2], axis=-1) + stripes[..., None], 0, 1)
+
+
 def render_compound_image(
-    c2w: np.ndarray, K: np.ndarray, H: int, W: int
+    c2w: np.ndarray,
+    K: np.ndarray,
+    H: int,
+    W: int,
+    background: str = "white",
+    bg_radius: float = 4.0,
 ) -> np.ndarray:
-    """Analytic RGBA render (uint8) of the shaded compound object."""
+    """Analytic RGBA render (uint8) of the shaded compound object.
+
+    background='white': miss pixels are pure white (adversarial for
+    mask-free training — see CLAUDE.md). background='textured': miss rays
+    hit a procedurally textured sphere of radius ``bg_radius`` — the
+    real-capture-like setting the reference's womsk confs target (textured
+    surroundings the background NeRF can model). The alpha channel is the
+    object mask in both cases.
+    """
     xs, ys = np.meshgrid(np.arange(W), np.arange(H))
     p = np.stack([xs, ys, np.ones_like(xs)], axis=-1).astype(np.float64)
     Kinv = np.linalg.inv(K[:3, :3])
@@ -213,7 +243,17 @@ def render_compound_image(
     color = (albedo * diffuse).clip(0, 1)
     rgba = np.zeros((H, W, 4), dtype=np.uint8)
     rgba[..., :3] = (color * 255).astype(np.uint8)
-    rgba[..., :3][~hit] = 255
+    if background == "textured":
+        # exact ray / backdrop-sphere intersection (cameras are inside it)
+        b = np.sum(o * d, axis=-1)
+        t_bg = -b + np.sqrt(
+            np.maximum(b * b - (np.sum(o * o, axis=-1) - bg_radius**2), 0.0)
+        )
+        bg_pts = o + d * t_bg[..., None]
+        bg_rgb = (backdrop_texture(bg_pts) * 255).astype(np.uint8)
+        rgba[..., :3][~hit] = bg_rgb[~hit]
+    else:
+        rgba[..., :3][~hit] = 255
     rgba[..., 3] = (hit * 255).astype(np.uint8)
     return rgba
 
@@ -226,6 +266,7 @@ def make_compound_scene(
     cam_dist: float = 2.2,
     focal: float | None = None,
     img_dir: str = "image",
+    background: str = "white",
 ) -> dict:
     """Write a nontrivial analytic scene in the reference's on-disk layout.
 
@@ -246,6 +287,15 @@ def make_compound_scene(
     K[0, 2] = W / 2.0
     K[1, 2] = H / 2.0
 
+    textured = background == "textured"
+    if textured:
+        # womsk layout: 3-channel images (backdrop kept), full-white masks
+        # (the reference's mask-free datasets carry dummy masks; the
+        # img*mask + (1-mask) composite is then the identity), and the true
+        # object masks under eval_mask/ for metrics only.
+        os.makedirs(os.path.join(img_path, "mask"), exist_ok=True)
+        os.makedirs(os.path.join(img_path, "eval_mask"), exist_ok=True)
+
     cam_npz = {}
     rng = np.random.default_rng(11)
     poses = []
@@ -258,9 +308,18 @@ def make_compound_scene(
         )
         c2w = look_at_pose(eye, np.zeros(3))
         poses.append(c2w)
-        rgba = render_compound_image(c2w, K, H, W)
+        rgba = render_compound_image(c2w, K, H, W, background=background)
         stem = f"{i:03d}"
-        cv.imwrite(os.path.join(img_path, f"{stem}.png"), rgba)
+        if textured:
+            cv.imwrite(os.path.join(img_path, f"{stem}.png"), rgba[..., :3])
+            white = np.full((H, W), 255, np.uint8)
+            cv.imwrite(os.path.join(img_path, "mask", f"{stem}.png"), white)
+            cv.imwrite(
+                os.path.join(img_path, "eval_mask", f"{stem}.png"),
+                rgba[..., 3],
+            )
+        else:
+            cv.imwrite(os.path.join(img_path, f"{stem}.png"), rgba)
 
         w2c = np.linalg.inv(c2w)
         cam_npz[f"world_mat_{stem}"] = (K @ w2c).astype(np.float32)

@@ -227,6 +227,23 @@ def render_net_apply(
     view_dirs: jax.Array,
     feature_vectors: jax.Array,
 ) -> jax.Array:
+    from vdnerf_tpu.models.precision import use_fused_mlp
+
+    if use_fused_mlp():
+        from vdnerf_tpu.models.layers import effective_weight
+        from vdnerf_tpu.ops.pallas.fused_mlp import _freqs, render_net_fused
+
+        plan = (
+            cfg.mode, _freqs(cfg.multires_view), cfg.squeeze_out,
+            len(cfg.dims) - 1,
+        )
+        ws = [effective_weight(p) for p in params["layers"]]
+        bs = [p["b"] for p in params["layers"]]
+        return render_net_fused(
+            plan, 512, points.astype(jnp.float32),
+            normals.astype(jnp.float32), view_dirs.astype(jnp.float32),
+            feature_vectors, ws, bs,
+        )
     if cfg.multires_view > 0:
         embed_fn, _ = get_embedder(cfg.multires_view, 3)
         view_dirs = embed_fn(view_dirs)
@@ -319,6 +336,28 @@ def nerf_apply(
     cfg: NeRFConfig, params: Params, input_pts: jax.Array, input_views: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array | None]:
     """-> (density [N,1], rgb [N,rgb_dims], depth_feat [N,dpt_dim] | None)."""
+    from vdnerf_tpu.models.precision import use_fused_mlp
+
+    if use_fused_mlp() and cfg.use_viewdirs:
+        from vdnerf_tpu.models.layers import effective_weight
+        from vdnerf_tpu.ops.pallas.fused_mlp import _freqs, nerf_fused
+
+        plan = (
+            _freqs(cfg.multires), _freqs(cfg.multires_view), cfg.skips,
+            cfg.D, cfg.gen_depth_feats,
+        )
+        trunk = params["pts_linears"]
+        heads = [params["alpha_linear"], params["feature_linear"],
+                 params["views_linears"][0], params["rgb_linear"]]
+        if cfg.gen_depth_feats:
+            heads.append(params["dpt_linear"])
+        alpha, rgb, dpt = nerf_fused(
+            plan, 512, input_pts.astype(jnp.float32),
+            input_views.astype(jnp.float32),
+            [effective_weight(p) for p in trunk], [p["b"] for p in trunk],
+            [effective_weight(p) for p in heads], [p["b"] for p in heads],
+        )
+        return alpha, rgb, dpt
     if cfg.multires > 0:
         embed_fn, _ = get_embedder(cfg.multires, cfg.d_in)
         input_pts = embed_fn(input_pts)

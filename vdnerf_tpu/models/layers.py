@@ -75,6 +75,18 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=jnp.float32) + p["b"]
 
 
+def effective_weight(p: Params) -> jax.Array:
+    """The layer's effective [in, out] weight with weight norm applied.
+
+    Differentiable in (v, g), so fused kernels that consume effective
+    weights and return d(effective) compose with the chain back to (v, g).
+    """
+    if "v" in p:
+        norm = jnp.linalg.norm(p["v"], axis=0, keepdims=True)
+        return p["v"] * (p["g"][None, :] / norm)
+    return p["w"]
+
+
 def softplus_beta(x: jax.Array, beta: float = 100.0) -> jax.Array:
     """torch.nn.Softplus(beta): (1/beta) * softplus(beta * x), numerically
     stable via jax.nn.softplus. Torch additionally short-circuits to identity

@@ -34,5 +34,24 @@ def enable_bf16(enable: bool = True) -> None:
     set_matmul_dtype(jnp.bfloat16 if enable else None)
 
 
+# --- fused Pallas MLP kernels (ops/pallas/fused_mlp.py) -------------------
+# Orthogonal to the matmul dtype: the fused kernels always compute with bf16
+# MXU inputs + f32 accumulation and keep activations in VMEM. Read at trace
+# time, like the matmul policy.
+
+_FUSED_MLP = False
+
+
+def set_fused_mlp(enable: bool) -> None:
+    global _FUSED_MLP
+    _FUSED_MLP = bool(enable)
+
+
+def use_fused_mlp() -> bool:
+    return _FUSED_MLP
+
+
 if os.environ.get("VDNERF_BF16", "") in ("1", "true", "True"):
     enable_bf16(True)
+if os.environ.get("VDNERF_FUSED", "") in ("1", "true", "True"):
+    set_fused_mlp(True)
