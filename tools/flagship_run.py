@@ -59,6 +59,8 @@ def main(argv=None):
                    default="womsk")
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas MLP kernels")
+    p.add_argument("--fast-bg", action="store_true",
+                   help="skip_bg_inside: bg NeRF on the outside block only")
     args = p.parse_args(argv)
 
     import jax
@@ -86,7 +88,7 @@ def main(argv=None):
         TrainConfig,
         init_params,
         init_state,
-        make_train_step,
+        make_train_scan_step,
     )
     from vdnerf_tpu.train.validate import ImageRenderer, val_image_metrics
     from vdnerf_tpu.utils.hocon import Config
@@ -123,7 +125,8 @@ def main(argv=None):
     # the bg NeRF (n_outside=0, NeuS wmask recipe) — see module docstring.
     nets = NeuSNetworks(
         sdf=SDFConfig(), color=RenderConfig(), nerf=NeRFConfig(),
-        renderer=RendererConfig(n_outside=32 if womsk else 0),
+        renderer=RendererConfig(n_outside=32 if womsk else 0,
+                                skip_bg_inside=args.fast_bg),
     )
     tcfg = TrainConfig(
         batch_size=args.batch, end_iter=args.iters,
@@ -139,7 +142,13 @@ def main(argv=None):
     }
     scene = SceneStatic(H=sd.H, W=sd.W)
     state = init_state(params, tcfg, cams, jax.random.PRNGKey(1))
-    step = jax.jit(make_train_step(nets, tcfg, scene))
+    # 10 steps per device dispatch (the runner's steps_per_call path):
+    # amortizes the ~3-4 ms/call host overhead against the ~13 ms step
+    k_scan = 10
+    while args.val_every % k_scan or args.iters % k_scan:
+        k_scan //= 2  # degrade gracefully for odd CLI settings
+    k_scan = max(k_scan, 1)
+    scan_step = jax.jit(make_train_scan_step(nets, tcfg, scene))
     img_renderer = ImageRenderer(nets, tcfg, scene)
 
     def eval_mask_at(idx: int, res_level: int) -> np.ndarray:
@@ -172,12 +181,14 @@ def main(argv=None):
     curve = []
     rng = np.random.default_rng(0)
     t0 = time.time()
-    for i in range(args.iters):
-        batch = store.sample_pixels(i % sd.n_images, tcfg.batch_size, rng)
-        state, m = step(state, batch)
-        it = i + 1
-        if it % 500 == 0 or it == 10:
+    for i0 in range(0, args.iters, k_scan):
+        idxs = [(i0 + j) % sd.n_images for j in range(k_scan)]
+        batches = store.sample_pixel_steps(idxs, tcfg.batch_size, rng)
+        state, ms = scan_step(state, batches)
+        it = i0 + k_scan
+        if it % 500 == 0 or it == k_scan:
             elapsed = time.time() - t0
+            m = {name: v[-1] for name, v in ms.items()}
             print(
                 f"iter {it} train-psnr {float(m['psnr']):.2f} "
                 f"loss {float(m['loss']):.4f} s_val {float(m['s_val']):.4f} "
@@ -280,6 +291,7 @@ def main(argv=None):
             "model": "flagship womsk_white dims (8x256 SDF, 64+64+32 samples)",
             "train_mode": args.train_mode,
             "bf16": not args.fp32, "fused_mlp": args.fused,
+            "fast_bg": args.fast_bg,
         },
         "train_wall_s": round(train_wall, 1),
         "rays_per_sec": round(rays_per_sec, 1),

@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--iters", type=int, default=40)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="profile with the fused Pallas MLP kernels")
     p.add_argument("--out", type=str, default="docs/PROFILE_r02.json")
     args = p.parse_args(argv)
 
@@ -39,9 +41,10 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from vdnerf_tpu.models.precision import enable_bf16
+    from vdnerf_tpu.models.precision import enable_bf16, set_fused_mlp
 
     enable_bf16(not args.fp32)
+    set_fused_mlp(args.fused)
 
     from __graft_entry__ import _full_size_setup
     from vdnerf_tpu.data.dataset import near_far_from_sphere
@@ -61,6 +64,32 @@ def main(argv=None):
     print(f"device: {jax.devices()[0]}, batch {B}", file=sys.stderr)
 
     key = jax.random.PRNGKey(0)
+
+    # Per-call floor: one host->tunnel->device->host round trip costs ~27-30
+    # ms REGARDLESS of scan length (measured: a trivial-op scan of length
+    # 10/40/160 all total ~27.5 ms). Every timed loop below pays it once, so
+    # subtract floor/iters from per-iteration numbers or small components
+    # read as ~0.7 ms of pure RTT.
+    def _measure_floor() -> float:
+        x0 = jnp.ones((8, 8))
+
+        @jax.jit
+        def loop(x):
+            def body(c, _):
+                return c * 1.000001, ()
+            c, _ = jax.lax.scan(body, x, None, length=4)
+            return jnp.sum(c)
+
+        s = float(loop(x0))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = float(loop(x0 * (1.0 + s * 1e-12)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    floor_s = _measure_floor()
+    print(f"dispatch floor: {floor_s*1e3:.2f} ms/call", file=sys.stderr)
 
     def timed(name, fn, x0, iters=args.iters, consts=()):
         """Time fn(x, *consts)->(x-like) chained `iters` times inside one jit.
@@ -86,7 +115,7 @@ def main(argv=None):
             r = loop(r, *consts)  # chained on previous output -> not memoizable
             jax.block_until_ready(r)
             best = min(best, time.perf_counter() - t0)
-        ms = best / iters * 1e3
+        ms = max(best - floor_s, 1e-9) / iters * 1e3  # RTT floor excluded
         results[name] = ms
         print(f"  {name:<28s} {ms:8.3f} ms", file=sys.stderr)
         return ms
@@ -200,7 +229,7 @@ def main(argv=None):
         s = step_loop(s)
         jax.block_until_ready(s["step"])
         best = min(best, time.perf_counter() - t0)
-    step_ms = best / max(args.iters // 2, 10) * 1e3
+    step_ms = max(best - floor_s, 1e-9) / max(args.iters // 2, 10) * 1e3
     results["full_train_step"] = step_ms
     print(f"  {'full_train_step':<28s} {step_ms:8.3f} ms", file=sys.stderr)
 
@@ -224,8 +253,9 @@ def main(argv=None):
             + B * (n_s + n_imp + n_out) * nerf_f
         ) * 3.0,  # fwd + ~2x bwd
     }
-    report = {"batch": B, "bf16": not args.fp32, "components_ms": results,
-              "tflops_est": {}}
+    report = {"batch": B, "bf16": not args.fp32, "fused": args.fused,
+              "dispatch_floor_ms": round(floor_s * 1e3, 2),
+              "components_ms": results, "tflops_est": {}}
     print(f"\n{'component':<28s} {'ms':>8s} {'% step':>7s} {'TF/s':>7s}",
           file=sys.stderr)
     for name, ms in results.items():

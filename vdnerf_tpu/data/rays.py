@@ -113,6 +113,24 @@ class RayStore:
             "feats": feats,
         }
 
+    def sample_pixel_steps(
+        self,
+        img_idxs: list[int] | np.ndarray,
+        batch_size: int,
+        rng: np.random.Generator,
+    ) -> dict[str, np.ndarray]:
+        """K per-image pixel batches stacked on a leading step axis.
+
+        Feed to ``make_train_scan_step`` (K steps per device dispatch);
+        identical sampling statistics to K ``sample_pixels`` calls.
+        """
+        steps = [
+            self.sample_pixels(int(i), batch_size, rng) for i in img_idxs
+        ]
+        return {
+            k: np.stack([s[k] for s in steps]) for k in steps[0]
+        }
+
     def image_at(self, idx: int, resolution_level: int = 1) -> np.ndarray:
         img = self.images_np[idx]
         out = cv.resize(

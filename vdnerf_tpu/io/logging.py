@@ -84,11 +84,13 @@ class Throughput:
         self._last = None
         self.rays_per_sec = 0.0
 
-    def tick(self) -> float:
+    def tick(self, n_steps: int = 1) -> float:
+        """Record that ``n_steps`` train steps completed since the last tick
+        (>1 for the multi-step-per-dispatch path)."""
         now = time.perf_counter()
         if self._last is not None:
             dt = now - self._last
-            inst = self.batch_size / max(dt, 1e-9)
+            inst = n_steps * self.batch_size / max(dt, 1e-9)
             self.rays_per_sec = (
                 inst if self.rays_per_sec == 0.0
                 else 0.9 * self.rays_per_sec + 0.1 * inst

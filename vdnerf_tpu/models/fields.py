@@ -351,8 +351,11 @@ def nerf_apply(
                  params["views_linears"][0], params["rgb_linear"]]
         if cfg.gen_depth_feats:
             heads.append(params["dpt_linear"])
+        # tile 256: the backward kernel's resident state (weights + weight
+        # grads + stored activations) plus a 512-row tile exceeds the 16 MB
+        # VMEM scoped limit (measured 19.1 MB)
         alpha, rgb, dpt = nerf_fused(
-            plan, 512, input_pts.astype(jnp.float32),
+            plan, 256, input_pts.astype(jnp.float32),
             input_views.astype(jnp.float32),
             [effective_weight(p) for p in trunk], [p["b"] for p in trunk],
             [effective_weight(p) for p in heads], [p["b"] for p in heads],

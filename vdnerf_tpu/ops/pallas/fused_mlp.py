@@ -213,7 +213,7 @@ def _render_kernel_bwd(plan, refs):
         _accumulate(db_refs[l], jnp.sum(d, axis=0, keepdims=True))
         d = _mm_dx(d, ws[l])
         if l > 0:
-            d = d * (acts[l] > 0).astype(_F32)
+            d = d * (acts[l].astype(_F32) > 0).astype(_F32)
 
     # split the input cotangent back into the concat components
     n_pts, n_emb = pts.shape[-1], emb_view.shape[-1]
@@ -318,9 +318,17 @@ def _render_fused_bwd(plan, tile, res, g):
         out_shape=out_shapes,
         interpret=_interpret(),
     )(*args, *[w.astype(_BF16) for w in ws], g_pad, *bs)
-    d_pts, d_nrm, d_dirs, d_feat = (o[:n] for o in outs[:4])
-    dws = list(outs[4:4 + n_linear])
-    dbs = [o[0] for o in outs[4 + n_linear:]]
+    # cotangent dtypes must match the primals' (e.g. feat arrives bf16 from
+    # the SDF feature head under the mixed-precision policy)
+    d_pts, d_nrm, d_dirs, d_feat = (
+        o[:n].astype(x.dtype)
+        for o, x in zip(outs[:4], (pts, normals, dirs, feat))
+    )
+    dws = [o.astype(w.dtype) for o, w in zip(outs[4:4 + n_linear], ws)]
+    dbs = [
+        o[0].astype(b.dtype)
+        for o, b in zip(outs[4 + n_linear:], bs)
+    ]
     return d_pts, d_nrm, d_dirs, d_feat, dws, dbs
 
 
@@ -455,7 +463,7 @@ def _nerf_kernel_bwd(plan, refs):
             relu_out = acts[i + 1][:, n_emb:]
         else:
             relu_out = acts[i + 1]
-        d_h = d_h * (relu_out > 0).astype(_F32)
+        d_h = d_h * (relu_out.astype(_F32) > 0).astype(_F32)
         _accumulate(dtw_refs[i], _mm_dw(acts[i], d_h))
         _accumulate(dtb_refs[i], jnp.sum(d_h, axis=0, keepdims=True))
         d_h = _mm_dx(d_h, tw[i])
@@ -573,11 +581,21 @@ def _nerf_fused_bwd(plan, tile, res, g):
         interpret=_interpret(),
     )(*args, *[w.astype(_BF16) for w in trunk_w],
       *[w.astype(_BF16) for w in head_w], *trunk_b, *head_b, *gs)
-    d_pts, d_views = outs[0][:n], outs[1][:n]
-    dtw = list(outs[2:2 + D])
-    dhw = list(outs[2 + D:2 + D + n_head])
-    dtb = [o[0] for o in outs[2 + D + n_head:2 + 2 * D + n_head]]
-    dhb = [o[0] for o in outs[2 + 2 * D + n_head:]]
+    d_pts = outs[0][:n].astype(pts.dtype)
+    d_views = outs[1][:n].astype(views.dtype)
+    dtw = [o.astype(w.dtype) for o, w in zip(outs[2:2 + D], trunk_w)]
+    dhw = [
+        o.astype(w.dtype)
+        for o, w in zip(outs[2 + D:2 + D + n_head], head_w)
+    ]
+    dtb = [
+        o[0].astype(b.dtype)
+        for o, b in zip(outs[2 + D + n_head:2 + 2 * D + n_head], trunk_b)
+    ]
+    dhb = [
+        o[0].astype(b.dtype)
+        for o, b in zip(outs[2 + 2 * D + n_head:], head_b)
+    ]
     return d_pts, d_views, dtw, dtb, dhw, dhb
 
 

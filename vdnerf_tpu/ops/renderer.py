@@ -42,6 +42,17 @@ class RendererConfig:
     n_outside: int = 32
     up_sample_steps: int = 4
     perturb: float = 1.0
+    # Opt-in fast path (DIVERGES from the reference, off by default): skip
+    # the background-NeRF evaluation at the n_samples+n_importance INSIDE
+    # samples. Their bg alpha/color enter the composite only through the
+    # (1 - inside_sphere) blend (renderer.py render_core), and inside
+    # samples lie within the unit sphere by the near/far construction — the
+    # blend weight is ~0 except at a handful of sphere-boundary samples per
+    # grazing ray, where this path substitutes alpha=0. Cuts bg-NeRF compute
+    # 5x (160 -> 32 evals/ray). Semantics pinned in tests/test_fast_bg.py;
+    # flagship-scale convergence report: docs/FLAGSHIP_r02_fastbg.json
+    # (tools/flagship_run.py --fast-bg).
+    skip_bg_inside: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,9 +74,15 @@ def render_core_outside(
     z_vals: jax.Array,
     sample_dist: float,
     background_rgb: jax.Array | None = None,
+    eval_tail: int | None = None,
 ) -> dict[str, jax.Array | None]:
     """Background NeRF over inverted-sphere coordinates
-    (reference renderer.py:100-145)."""
+    (reference renderer.py:100-145).
+
+    ``eval_tail``: evaluate the NeRF only at the LAST that many samples
+    (the true outside-sphere block), zero-filling density/color for the
+    leading block — the ``skip_bg_inside`` fast path (see RendererConfig).
+    """
     batch_size, n_samples = z_vals.shape
 
     dists = z_vals[..., 1:] - z_vals[..., :-1]
@@ -82,7 +99,39 @@ def render_core_outside(
     pts4 = jnp.concatenate([pts / dis_to_center, 1.0 / dis_to_center], axis=-1)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
 
-    pts_flat = pts4.reshape(-1, 3 + int(nets.renderer.n_outside > 0))
+    d_in = 3 + int(nets.renderer.n_outside > 0)
+    if eval_tail is not None and eval_tail < n_samples:
+        n_skip = n_samples - eval_tail
+        pts_flat = pts4[:, n_skip:, :].reshape(-1, d_in)
+        dirs_flat = dirs[:, n_skip:, :].reshape(-1, 3)
+        density_t, color_t, feat_t = nerf_apply(
+            nets.nerf, params["nerf"], pts_flat, dirs_flat
+        )
+
+        def fill(tail, width):
+            tail = tail.reshape(batch_size, eval_tail, width)
+            return jnp.concatenate(
+                [jnp.zeros((batch_size, n_skip, width), tail.dtype), tail],
+                axis=1,
+            ).reshape(batch_size * n_samples, width)
+
+        density = fill(density_t, 1)
+        sampled_color = fill(color_t, color_t.shape[-1])
+        sampled_feat = (
+            fill(feat_t, feat_t.shape[-1]) if feat_t is not None else None
+        )
+        # softplus(0) > 0 would leak alpha into the zero-filled block; mask
+        # the skipped samples to exactly alpha = 0
+        alpha = 1.0 - jnp.exp(
+            -jax.nn.softplus(density.reshape(batch_size, n_samples)) * dists
+        )
+        alpha = alpha.at[:, :n_skip].set(0.0)
+        return _outside_composite(
+            nets, batch_size, n_samples, alpha, sampled_color, sampled_feat,
+            z_vals, mid_z_vals, background_rgb,
+        )
+
+    pts_flat = pts4.reshape(-1, d_in)
     dirs_flat = dirs.reshape(-1, 3)
 
     density, sampled_color, sampled_feat = nerf_apply(
@@ -91,6 +140,16 @@ def render_core_outside(
     alpha = 1.0 - jnp.exp(
         -jax.nn.softplus(density.reshape(batch_size, n_samples)) * dists
     )
+    return _outside_composite(
+        nets, batch_size, n_samples, alpha, sampled_color, sampled_feat,
+        z_vals, mid_z_vals, background_rgb,
+    )
+
+
+def _outside_composite(
+    nets, batch_size, n_samples, alpha, sampled_color, sampled_feat,
+    z_vals, mid_z_vals, background_rgb,
+):
     weights = alpha * transmittance(alpha)
     sampled_color = sampled_color.reshape(batch_size, n_samples, -1)
     color = jnp.sum(weights[:, :, None] * sampled_color, axis=1)
@@ -344,8 +403,13 @@ def render(
     # (both are sorted per ray -> rank merge instead of a full sort)
     if rcfg.n_outside > 0:
         z_vals_feed, _ = merge_z_vals(z_vals, z_vals_outside, None, None)
+        # fast path evaluates the outside block PLUS one sample: the last
+        # inside sample's midpoint lies past `far` (its dist spans to the
+        # first outside z), so it is outside the unit sphere for EVERY ray
+        # and its bg alpha enters the composite at full weight
         ret_outside = render_core_outside(
-            nets, params, rays_o, rays_d, z_vals_feed, sample_dist
+            nets, params, rays_o, rays_d, z_vals_feed, sample_dist,
+            eval_tail=rcfg.n_outside + 1 if rcfg.skip_bg_inside else None,
         )
         background_sampled_feat = ret_outside["sampled_feat"]
         background_sampled_color = ret_outside["sampled_color"]

@@ -31,9 +31,19 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def batch_specs() -> dict:
+def batch_specs(leading_steps: bool = False) -> dict:
     """PartitionSpecs for a pixel batch: per-ray arrays sharded, scalars
-    replicated."""
+    replicated. With ``leading_steps`` every leaf has an unsharded leading
+    step axis (the multi-step-per-dispatch layout)."""
+    if leading_steps:
+        return {
+            "img_idx": P(None),
+            "pixels_x": P(None, AXIS),
+            "pixels_y": P(None, AXIS),
+            "color": P(None, AXIS),
+            "mask": P(None, AXIS),
+            "feats": P(None, AXIS),
+        }
     return {
         "img_idx": P(),
         "pixels_x": P(AXIS),
@@ -44,9 +54,9 @@ def batch_specs() -> dict:
     }
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, leading_steps: bool = False) -> dict:
     """Place a host batch onto the mesh with the canonical shardings."""
-    specs = batch_specs()
+    specs = batch_specs(leading_steps)
     return {
         k: jax.device_put(v, NamedSharding(mesh, specs[k]))
         for k, v in batch.items()
@@ -76,6 +86,33 @@ def make_sharded_train_step(
         inner,
         mesh=mesh,
         in_specs=(state_spec, batch_specs()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_train_scan_step(
+    nets: NeuSNetworks,
+    tcfg: TrainConfig,
+    scene: SceneStatic,
+    mesh: Mesh,
+    grad_accum: int = 1,
+):
+    """Multi-step-per-dispatch variant of :func:`make_sharded_train_step`:
+    the scan runs INSIDE the shard_map (one collective program per K steps).
+    Batches carry a leading step axis (see ``batch_specs(leading_steps=True)``);
+    metrics come back stacked [K]."""
+    from vdnerf_tpu.train.step import make_train_scan_step
+
+    inner = make_train_scan_step(
+        nets, tcfg, scene, axis_name=AXIS, grad_accum=grad_accum
+    )
+    state_spec = P()
+    sharded = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(state_spec, batch_specs(leading_steps=True)),
         out_specs=(state_spec, P()),
         check_vma=False,
     )

@@ -22,6 +22,7 @@ single compiled program.
 from __future__ import annotations
 
 import logging
+import math
 import os
 
 import jax
@@ -42,13 +43,19 @@ from vdnerf_tpu.io import (
     save_state,
 )
 from vdnerf_tpu.mesh import extract_geometry, save_ply
-from vdnerf_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch
+from vdnerf_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_scan_step,
+    make_sharded_train_step,
+    shard_batch,
+)
 from vdnerf_tpu.train import (
     SceneStatic,
     TrainConfig,
     build_networks,
     init_params,
     init_state,
+    make_train_scan_step,
     make_train_step,
 )
 from vdnerf_tpu.train.validate import (
@@ -224,48 +231,84 @@ class Runner:
             enable_bf16(True)
         writer = MetricsWriter(os.path.join(self.base_exp_dir, "logs"))
         devices = jax.devices()
+
+        # K steps per device dispatch: K must divide every observable cadence
+        # (metric write=10, report/save/val/mesh freqs) and the remaining
+        # iteration count, so behavior is identical to K=1 (same sampling
+        # stream, same event iters) while the ~3-4 ms/call host overhead is
+        # paid once per K steps.
+        res_step = self.tcfg.end_iter - self.iter_step
+        k = max(1, self.tcfg.steps_per_call)
+        for m in (10, self.tcfg.report_freq, self.tcfg.save_freq,
+                  self.tcfg.val_freq, self.tcfg.val_mesh_freq, res_step):
+            k = math.gcd(k, m)
+
         if len(devices) > 1:
             mesh = make_mesh(devices)
-            step_fn = make_sharded_train_step(
-                self.nets, self.tcfg, self.scene, mesh,
-                grad_accum=self.tcfg.grad_accum,
-            )
-            place = lambda b: shard_batch(b, mesh)  # noqa: E731
+            if k > 1:
+                step_fn = make_sharded_train_scan_step(
+                    self.nets, self.tcfg, self.scene, mesh,
+                    grad_accum=self.tcfg.grad_accum,
+                )
+                place = lambda b: shard_batch(b, mesh, leading_steps=True)  # noqa: E731
+            else:
+                step_fn = make_sharded_train_step(
+                    self.nets, self.tcfg, self.scene, mesh,
+                    grad_accum=self.tcfg.grad_accum,
+                )
+                place = lambda b: shard_batch(b, mesh)  # noqa: E731
         else:
-            step_fn = jax.jit(make_train_step(
+            maker = make_train_scan_step if k > 1 else make_train_step
+            step_fn = jax.jit(maker(
                 self.nets, self.tcfg, self.scene,
                 grad_accum=self.tcfg.grad_accum,
             ))
             place = lambda b: b  # noqa: E731
 
-        res_step = self.tcfg.end_iter - self.iter_step
         image_perm = self.rng.permutation(self.scene_data.n_images)
         perm_pos = 0
         throughput = Throughput(self.tcfg.batch_size)
 
         profile_dir = os.environ.get("VDNERF_PROFILE_DIR")
-        for _ in range(res_step):
-            img_idx = int(image_perm[perm_pos % len(image_perm)])
-            batch = self.store.sample_pixels(
-                img_idx, self.tcfg.batch_size, self.rng
-            )
-            if profile_dir and self.iter_step == 10:
+        for _ in range(res_step // k):
+            idxs = []
+            for _j in range(k):
+                idxs.append(int(image_perm[perm_pos % len(image_perm)]))
+                perm_pos += 1
+                if perm_pos % len(image_perm) == 0:
+                    image_perm = self.rng.permutation(self.scene_data.n_images)
+            if profile_dir and self.iter_step <= 10 < self.iter_step + k:
                 jax.profiler.start_trace(profile_dir)
-            if profile_dir and self.iter_step == 15:
-                jax.profiler.stop_trace()
-            self.state, metrics = step_fn(self.state, place(batch))
-            step = self.iter_step
-            perm_pos += 1
-
-            rays_ps = throughput.tick()
-            if step % 10 == 0 or step <= 1:
-                writer.write(step, {**metrics, "rays_per_sec": rays_ps})
-            if step % self.tcfg.report_freq == 0:
-                log.info(
-                    "iter %d loss=%.5f psnr=%.3f rays/s=%.0f",
-                    step, float(metrics["loss"]), float(metrics["psnr"]),
-                    rays_ps,
+            if k > 1:
+                batch = self.store.sample_pixel_steps(
+                    idxs, self.tcfg.batch_size, self.rng
                 )
+                self.state, metrics_k = step_fn(self.state, place(batch))
+                metrics_seq = [
+                    (self.iter_step - k + 1 + j,
+                     {name: v[j] for name, v in metrics_k.items()})
+                    for j in range(k)
+                ]
+            else:
+                batch = self.store.sample_pixels(
+                    idxs[0], self.tcfg.batch_size, self.rng
+                )
+                self.state, metrics = step_fn(self.state, place(batch))
+                metrics_seq = [(self.iter_step, metrics)]
+            if profile_dir and self.iter_step - k <= 15 < self.iter_step:
+                jax.profiler.stop_trace()
+
+            rays_ps = throughput.tick(k)
+            for step, metrics in metrics_seq:
+                if step % 10 == 0 or step <= 1:
+                    writer.write(step, {**metrics, "rays_per_sec": rays_ps})
+                if step % self.tcfg.report_freq == 0:
+                    log.info(
+                        "iter %d loss=%.5f psnr=%.3f rays/s=%.0f",
+                        step, float(metrics["loss"]), float(metrics["psnr"]),
+                        rays_ps,
+                    )
+            step = self.iter_step
             if step % self.tcfg.save_freq == 0:
                 self.save_checkpoint()
             if step % self.tcfg.val_freq == 0:
@@ -277,8 +320,6 @@ class Runner:
                 elif step % 50000 == 0:
                     res = 256
                 self.validate_mesh(world_space=world, resolution=res)
-            if perm_pos % len(image_perm) == 0:
-                image_perm = self.rng.permutation(self.scene_data.n_images)
 
         writer.flush()
         self.val_all_imgs(resolution_level=2, both_mask=True)

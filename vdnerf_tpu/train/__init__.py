@@ -4,6 +4,7 @@ from vdnerf_tpu.train.step import (
     SceneStatic,
     init_state,
     make_loss_fn,
+    make_train_scan_step,
     make_train_step,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "SceneStatic",
     "init_state",
     "make_loss_fn",
+    "make_train_scan_step",
     "make_train_step",
 ]

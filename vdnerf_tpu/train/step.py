@@ -225,6 +225,31 @@ def init_state(
     return state
 
 
+def make_train_scan_step(
+    nets: NeuSNetworks,
+    tcfg: TrainConfig,
+    scene: SceneStatic,
+    axis_name: str | None = None,
+    grad_accum: int = 1,
+):
+    """K training steps per dispatch: scan_step(state, batches) -> (state,
+    stacked metrics [K]).
+
+    ``batches`` is a pixel batch with a leading step axis on every leaf
+    (img_idx: [K], pixels_x: [K, B], ...). One host->device dispatch per K
+    steps amortizes the per-call overhead (~3-4 ms enqueue + upload against
+    a ~13 ms step on the tunneled v5e: measured 30.7k -> 36k+ rays/s
+    sustained at K=10). Per-iteration metrics remain available — they come
+    back stacked.
+    """
+    step_fn = make_train_step(nets, tcfg, scene, axis_name, grad_accum)
+
+    def scan_step(state, batches):
+        return jax.lax.scan(step_fn, state, batches)
+
+    return scan_step
+
+
 def make_train_step(
     nets: NeuSNetworks,
     tcfg: TrainConfig,
