@@ -29,7 +29,8 @@ TORCH_BASELINE_RAYS_PER_SEC = 3000.0
 
 
 def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
-                bf16: bool = True, grad_accum: int = 1):
+                bf16: bool = True, grad_accum: int = 1,
+                fast_bg: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,6 +49,17 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
     from vdnerf_tpu.train.step import make_train_scan_step
 
     nets, params, _ = _full_size_setup(batch=batch_size, small=False)
+    if fast_bg:
+        # skip_bg_inside production mode (documented approximation,
+        # convergence-validated at flagship scale:
+        # docs/FLAGSHIP_r02_fastbg.json) — NOT the headline metric, which
+        # stays on the reference-faithful workload
+        import dataclasses
+
+        nets = dataclasses.replace(
+            nets,
+            renderer=dataclasses.replace(nets.renderer, skip_bg_inside=True),
+        )
     tcfg = TrainConfig(batch_size=batch_size)
     H = W = 256
     n_images = 4
@@ -131,8 +143,10 @@ def main():
     results = {}
     # monolithic 4096 trips an axon-compiler register-allocation RET_CHECK;
     # effective 4096/8192 run as grad-accumulated microbatches instead
-    # (train/step.py grad_accum). The loop tolerates per-config failures.
-    for batch, accum in ((512, 1), (2048, 1), (4096, 2), (8192, 4)):
+    # (train/step.py grad_accum) at the measured per-chip sweet spot of 512
+    # (8x512 = 37.8k rays/s vs 2x2048 = 32.6k). Tolerates per-config
+    # failures.
+    for batch, accum in ((512, 1), (2048, 1), (4096, 8), (8192, 16)):
         label = f"{batch}" if accum == 1 else f"{batch}={accum}x{batch//accum}"
         try:
             # long windows amortize the per-window host read (~27 ms tunnel
@@ -153,22 +167,37 @@ def main():
     if not results:
         raise SystemExit("bench failed for all batch sizes")
 
+    # production fast path (skip_bg_inside, convergence-validated at
+    # flagship scale) — reported alongside, never as the headline
+    fast_rps = None
+    try:
+        fast_rps, fast_step = bench_train(512, n_steps=195, fast_bg=True)
+        print(
+            f"[bench] batch=512 fast_bg: {fast_rps:,.0f} rays/s "
+            f"({fast_step*1e3:.1f} ms/step)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] fast_bg failed: {e}", file=sys.stderr)
+
     best_batch, (best, _) = max(results.items(), key=lambda kv: kv[1][0])
     n_chips = len(jax.devices())
     per_chip = best / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "train rays/sec/chip, full womsk_white model "
-                    f"(best batch={best_batch})"
-                ),
-                "value": round(per_chip, 1),
-                "unit": "rays/sec/chip",
-                "vs_baseline": round(per_chip / TORCH_BASELINE_RAYS_PER_SEC, 2),
-            }
+    out = {
+        "metric": (
+            "train rays/sec/chip, full womsk_white model "
+            f"(best batch={best_batch})"
+        ),
+        "value": round(per_chip, 1),
+        "unit": "rays/sec/chip",
+        "vs_baseline": round(per_chip / TORCH_BASELINE_RAYS_PER_SEC, 2),
+    }
+    if fast_rps is not None:
+        out["fast_bg_rays_per_sec"] = round(fast_rps / n_chips, 1)
+        out["fast_bg_vs_baseline"] = round(
+            fast_rps / n_chips / TORCH_BASELINE_RAYS_PER_SEC, 2
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

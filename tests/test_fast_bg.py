@@ -67,6 +67,34 @@ def test_approximation_bounded_elsewhere(outputs):
     )
 
 
+def test_conf_exposes_skip_bg_inside():
+    """The fast path is reachable from the HOCON surface
+    (model.neus_renderer.skip_bg_inside), not only the library API."""
+    from vdnerf_tpu.train.builder import build_networks
+    from vdnerf_tpu.utils.hocon import parse_string
+
+    conf = parse_string(
+        """
+        model {
+            sdf_network { d_hidden = 32, n_layers = 2 }
+            variance_network { init_val = 0.3 }
+            rendering_network { d_feature = 32, d_hidden = 32, n_layers = 2 }
+            nerf { D = 2, W = 32 }
+            neus_renderer {
+                n_samples = 8
+                n_importance = 4
+                n_outside = 4
+                up_sample_steps = 1
+                perturb = 1.0
+                skip_bg_inside = True
+            }
+        }
+        """
+    )
+    nets = build_networks(conf, extract_depth=False)
+    assert nets.renderer.skip_bg_inside is True
+
+
 def test_sdf_quantities_unchanged(outputs):
     """The fast path only touches the bg NeRF; SDF-side outputs are equal."""
     ref, fast = outputs

@@ -55,12 +55,16 @@ def main(argv=None):
     p.add_argument("--img-res", type=int, default=256)
     p.add_argument("--val-every", type=int, default=2500)
     p.add_argument("--fp32", action="store_true")
-    p.add_argument("--train-mode", choices=["womsk", "masked"],
+    p.add_argument("--train-mode", choices=["womsk", "masked", "wdepth"],
                    default="womsk")
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas MLP kernels")
     p.add_argument("--fast-bg", action="store_true",
                    help="skip_bg_inside: bg NeRF on the outside block only")
+    p.add_argument("--feat-max-freq", type=float, default=5.0,
+                   help="wdepth teacher-feature top frequency (rad per depth "
+                        "unit); ~5 matches the smoothness of real wavelet-"
+                        "net features, 12 is an adversarially sharp teacher")
     args = p.parse_args(argv)
 
     import jax
@@ -101,7 +105,8 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     print(f"devices: {jax.devices()}", flush=True)
 
-    womsk = args.train_mode == "womsk"
+    wdepth = args.train_mode == "wdepth"
+    womsk = args.train_mode in ("womsk", "wdepth")
     t_gen = time.time()
     make_compound_scene(
         args.out, n_images=args.views, H=args.img_res, W=args.img_res,
@@ -119,14 +124,62 @@ def main(argv=None):
         }
     })
     sd = SceneData(conf["dataset"])
-    store = RayStore(sd.images_lis, sd.masks_lis)
+
+    if wdepth:
+        # 96-ch teacher features for the distillation branch: multi-frequency
+        # sin/cos encodings of the TRUE depth of the analytic scene, saved in
+        # the on-disk layout the VDN cycle uses (image/00/<stem>.npy, NCHW;
+        # reference dpt_runner.py getfeats -> wavelet predict). A stand-in
+        # for the wavelet net's 96-ch statistics with the same loss path,
+        # schedule, and store-side normalization.
+        from vdnerf_tpu.data.synthetic import _sphere_trace
+
+        fH, fW = args.img_res // 2, args.img_res // 2
+        feat_dir = os.path.join(args.out, "image", "00")
+        os.makedirs(feat_dir, exist_ok=True)
+        freqs = np.linspace(0.5, args.feat_max_freq, 48)
+        t_feat = time.time()
+        for i in range(sd.n_images):
+            c2w = sd.pose_all[i].astype(np.float64)
+            Kinv = np.linalg.inv(sd.intrinsics_all[i][:3, :3]).astype(
+                np.float64
+            )
+            xs, ys = np.meshgrid(np.arange(fW), np.arange(fH))
+            pix = np.stack(
+                [(xs + 0.5) * sd.W / fW, (ys + 0.5) * sd.H / fH,
+                 np.ones_like(xs)], axis=-1,
+            ).astype(np.float64)
+            d = pix @ Kinv.T
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            d = d @ c2w[:3, :3].T
+            o = np.broadcast_to(c2w[:3, 3], d.shape)
+            t, hit = _sphere_trace(o, d, 0.05, 4.0)
+            depth = np.where(hit, t, 3.0)
+            feats = np.concatenate(
+                [np.sin(depth[None] * freqs[:, None, None]),
+                 np.cos(depth[None] * freqs[:, None, None])], axis=0
+            )
+            stem = os.path.splitext(os.path.basename(sd.images_lis[i]))[0]
+            np.save(os.path.join(feat_dir, f"{stem}.npy"),
+                    feats.astype(np.float32))
+        print(f"teacher features: {sd.n_images} views 96x{fH}x{fW} "
+              f"in {time.time()-t_feat:.0f}s", flush=True)
+        store = RayStore(sd.images_lis, sd.masks_lis,
+                         depth_lis=sd.depth_lis, with_depth=True)
+    else:
+        store = RayStore(sd.images_lis, sd.masks_lis)
 
     # flagship dimensions: the womsk_white.conf defaults. masked mode drops
     # the bg NeRF (n_outside=0, NeuS wmask recipe) — see module docstring.
+    # wdepth adds the 96-ch depth head + NeRF dpt head + ramped distillation
+    # loss (womsk_white_wdepth.conf dims).
+    dpt_dim = 96
     nets = NeuSNetworks(
-        sdf=SDFConfig(), color=RenderConfig(), nerf=NeRFConfig(),
+        sdf=SDFConfig(), color=RenderConfig(),
+        nerf=NeRFConfig(gen_depth_feats=wdepth, dpt_dim=dpt_dim),
         renderer=RendererConfig(n_outside=32 if womsk else 0,
                                 skip_bg_inside=args.fast_bg),
+        depth=RenderConfig(d_out=dpt_dim) if wdepth else None,
     )
     tcfg = TrainConfig(
         batch_size=args.batch, end_iter=args.iters,
@@ -134,6 +187,11 @@ def main(argv=None):
         anneal_end=max(args.iters // 4, 1000),
         use_white_bkgd=True,
         use_mask=not womsk, mask_weight=0.0 if womsk else 0.1,
+        extract_depth=wdepth,
+        # the reference starts distillation at iter 5000 of 300k with a
+        # 5000-iter sigmoid ramp; same early-fraction schedule here
+        depth_start_iter=args.iters // 10 if wdepth else 0,
+        depth_ramp_iters=max(args.iters // 10, 1) if wdepth else 5000,
     )
     params = init_params(jax.random.PRNGKey(0), nets, 0.3)
     cams = {
@@ -179,6 +237,7 @@ def main(argv=None):
         return l1, psnr, out["gradient_error"]
 
     curve = []
+    last_metrics = {}
     rng = np.random.default_rng(0)
     t0 = time.time()
     for i0 in range(0, args.iters, k_scan):
@@ -189,11 +248,15 @@ def main(argv=None):
         if it % 500 == 0 or it == k_scan:
             elapsed = time.time() - t0
             m = {name: v[-1] for name, v in ms.items()}
+            dl = (f" dfeat {float(m['depth_loss']):.4f}"
+                  if "depth_loss" in m else "")
             print(
                 f"iter {it} train-psnr {float(m['psnr']):.2f} "
-                f"loss {float(m['loss']):.4f} s_val {float(m['s_val']):.4f} "
-                f"[{it * tcfg.batch_size / elapsed:.0f} rays/s]", flush=True,
+                f"loss {float(m['loss']):.4f} s_val {float(m['s_val']):.4f}"
+                f"{dl} [{it * tcfg.batch_size / elapsed:.0f} rays/s]",
+                flush=True,
             )
+            last_metrics = {n: float(v) for n, v in m.items()}
         if it % args.val_every == 0 or it == args.iters:
             l1, psnr, geik = masked_psnr(int(rng.integers(sd.n_images)), 2)
             curve.append(
@@ -288,7 +351,11 @@ def main(argv=None):
         "config": {
             "iters": args.iters, "batch": args.batch, "views": args.views,
             "img_res": args.img_res, "mesh_res": args.resolution,
-            "model": "flagship womsk_white dims (8x256 SDF, 64+64+32 samples)",
+            "model": (
+                "flagship womsk_white_wdepth dims (8x256 SDF, 64+64+32 "
+                "samples, 96-ch depth head)" if wdepth else
+                "flagship womsk_white dims (8x256 SDF, 64+64+32 samples)"
+            ),
             "train_mode": args.train_mode,
             "bf16": not args.fp32, "fused_mlp": args.fused,
             "fast_bg": args.fast_bg,
@@ -298,6 +365,7 @@ def main(argv=None):
         "psnr_curve": curve,
         "final_masked_psnr_fullres": round(final_psnr, 3),
         "final_eikonal": round(final_eik, 5),
+        "final_train_metrics": last_metrics,
         "mesh": {
             "n_verts": int(len(verts)), "n_tris": int(len(tris)),
             "extract_wall_s": round(mesh_wall, 1), **manifold,

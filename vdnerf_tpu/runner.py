@@ -270,6 +270,10 @@ class Runner:
         throughput = Throughput(self.tcfg.batch_size)
 
         profile_dir = os.environ.get("VDNERF_PROFILE_DIR")
+        # host-side iteration counter: reading self.iter_step mid-loop would
+        # block on a device->host transfer (~30 ms RTT on the tunneled TPU),
+        # defeating the multi-step-dispatch amortization
+        host_step = self.iter_step
         for _ in range(res_step // k):
             idxs = []
             for _j in range(k):
@@ -277,38 +281,49 @@ class Runner:
                 perm_pos += 1
                 if perm_pos % len(image_perm) == 0:
                     image_perm = self.rng.permutation(self.scene_data.n_images)
-            if profile_dir and self.iter_step <= 10 < self.iter_step + k:
+            if profile_dir and host_step <= 10 < host_step + k:
                 jax.profiler.start_trace(profile_dir)
             if k > 1:
                 batch = self.store.sample_pixel_steps(
                     idxs, self.tcfg.batch_size, self.rng
                 )
                 self.state, metrics_k = step_fn(self.state, place(batch))
-                metrics_seq = [
-                    (self.iter_step - k + 1 + j,
-                     {name: v[j] for name, v in metrics_k.items()})
-                    for j in range(k)
-                ]
             else:
                 batch = self.store.sample_pixels(
                     idxs[0], self.tcfg.batch_size, self.rng
                 )
-                self.state, metrics = step_fn(self.state, place(batch))
-                metrics_seq = [(self.iter_step, metrics)]
-            if profile_dir and self.iter_step - k <= 15 < self.iter_step:
+                self.state, metrics_k = step_fn(self.state, place(batch))
+            first_step = host_step + 1
+            host_step += k
+            if profile_dir and host_step - k <= 15 < host_step:
                 jax.profiler.stop_trace()
 
             rays_ps = throughput.tick(k)
-            for step, metrics in metrics_seq:
-                if step % 10 == 0 or step <= 1:
-                    writer.write(step, {**metrics, "rays_per_sec": rays_ps})
-                if step % self.tcfg.report_freq == 0:
-                    log.info(
-                        "iter %d loss=%.5f psnr=%.3f rays/s=%.0f",
-                        step, float(metrics["loss"]), float(metrics["psnr"]),
-                        rays_ps,
+            due_steps = [
+                s for s in range(first_step, host_step + 1)
+                if s % 10 == 0 or s <= 1 or s % self.tcfg.report_freq == 0
+            ]
+            if due_steps:
+                # one bulk device->host transfer for the window — each
+                # per-scalar float() costs a full tunnel RTT; windows with
+                # nothing due stay fully async
+                mk = jax.device_get(metrics_k)
+                for s in due_steps:
+                    metrics = (
+                        {n: v[s - first_step] for n, v in mk.items()}
+                        if k > 1 else mk
                     )
-            step = self.iter_step
+                    if s % 10 == 0 or s <= 1:
+                        writer.write(
+                            s, {**metrics, "rays_per_sec": rays_ps}
+                        )
+                    if s % self.tcfg.report_freq == 0:
+                        log.info(
+                            "iter %d loss=%.5f psnr=%.3f rays/s=%.0f",
+                            s, float(metrics["loss"]),
+                            float(metrics["psnr"]), rays_ps,
+                        )
+            step = host_step
             if step % self.tcfg.save_freq == 0:
                 self.save_checkpoint()
             if step % self.tcfg.val_freq == 0:

@@ -70,7 +70,7 @@ def build_networks(conf: Config, extract_depth: bool) -> NeuSNetworks:
         **_kwargs(
             conf["model.neus_renderer"],
             {"n_samples", "n_importance", "n_outside", "up_sample_steps",
-             "perturb"},
+             "perturb", "skip_bg_inside"},
         )
     )
     depth_cfg = None
