@@ -70,3 +70,42 @@ def test_cli_interpolate(scene_conf):
     assert len(frames) == 4
     assert frames[0].shape == (8, 8, 3)
     assert frames[0].dtype == np.uint8
+
+
+def test_cli_train_steps_per_call_cadence(tmp_path):
+    """The multi-step-dispatch runner path (train.steps_per_call > 1) must
+    preserve every observable cadence: per-iteration metric steps, the
+    save_freq checkpoints, and the val_freq validation renders land on the
+    same iterations as steps_per_call = 1."""
+    import json
+    import re
+
+    d = str(tmp_path)
+    make_synthetic_scene(d, n_images=3, H=32, W=32)
+    conf = os.path.join(d, "synthetic.conf")
+    write_synthetic_conf(
+        conf, data_dir=d, exp_dir=os.path.join(d, "exp"),
+        end_iter=20, batch_size=64, save_freq=10, val_freq=20,
+        val_mesh_freq=20,
+    )
+    txt = open(conf).read()
+    txt = re.sub(r"(end_iter = 20)", r"\1\n    steps_per_call = 5", txt)
+    with open(conf, "w") as f:
+        f.write(txt)
+
+    from vdnerf_tpu.cli import main
+
+    main(["--conf", conf, "--mode", "train"])
+    exp = os.path.join(d, "exp")
+    ckpts = sorted(os.listdir(os.path.join(exp, "checkpoints")))
+    assert "ckpt_000010.npz" in ckpts and "ckpt_000020.npz" in ckpts
+    lines = [
+        json.loads(line)
+        for line in open(os.path.join(exp, "logs", "metrics.jsonl"))
+    ]
+    steps = [line["step"] for line in lines]
+    # write cadence: step 1 and every multiple of 10
+    assert steps == [1, 10, 20]
+    assert all(np.isfinite(line["loss"]) for line in lines)
+    assert os.listdir(os.path.join(exp, "validations_fine"))
+    assert os.listdir(os.path.join(exp, "meshes"))

@@ -276,7 +276,10 @@ def main(argv=None):
     save_state(checkpoint_path(args.out, args.iters), state)
 
     # final full-res masked PSNR over 4 evenly spaced views
-    finals = [masked_psnr(i, 1) for i in range(0, sd.n_images, sd.n_images // 4)]
+    finals = [
+        masked_psnr(i, 1)
+        for i in range(0, sd.n_images, max(sd.n_images // 4, 1))
+    ]
     final_psnr = float(np.mean([f[1] for f in finals]))
     final_eik = float(np.mean([f[2] for f in finals]))
     print(f"final full-res masked PSNR {final_psnr:.2f} dB "
@@ -321,19 +324,12 @@ def main(argv=None):
         os.path.join(args.out, "flagship_mesh_clean.ply"), cverts, ctris
     )
 
-    # ground truth: the analytic compound SDF extracted at the same res
+    # ground truth: the analytic compound SDF (single source of truth with
+    # the scene renderer — vdnerf_tpu/data/synthetic.py) at the same res
+    from vdnerf_tpu.data.synthetic import compound_sdf_jnp
+
     def neg_gt_sdf(pts):
-        sphere = jnp.linalg.norm(pts, axis=-1) - 0.35
-        q = jnp.stack(
-            [jnp.linalg.norm(pts[..., :2], axis=-1) - 0.55, pts[..., 2]],
-            axis=-1,
-        )
-        torus = jnp.linalg.norm(q, axis=-1) - 0.12
-        bump = (
-            jnp.linalg.norm(pts - jnp.asarray([0.0, 0.0, 0.45]), axis=-1)
-            - 0.18
-        )
-        return -jnp.minimum(jnp.minimum(sphere, torus), bump)
+        return -compound_sdf_jnp(pts)
 
     v_gt, t_gt = extract_geometry(
         sd.object_bbox_min, sd.object_bbox_max, args.resolution, 0.0,

@@ -135,28 +135,29 @@ def main(argv=None):
     dirs128 = pts128 / jnp.linalg.norm(pts128, axis=-1, keepdims=True)
 
     # 1. coarse SDF (the up-sample ladder's stop-gradient evals)
-    def sdf_q(x):
-        s = sdf_value(nets.sdf, params["sdf"], x)
+    def sdf_q(x, ps):
+        s = sdf_value(nets.sdf, ps, x)
         return x * 1.000001 + 1e-20 * jnp.mean(s)
-    timed("sdf_fwd_64spp", sdf_q, pts64)
+    timed("sdf_fwd_64spp", sdf_q, pts64, consts=(params["sdf"],))
     # 2. fused value+grad+feature SDF (the core query)
-    def core_q(x):
-        s, g, f = sdf_value_grad_feat(nets.sdf, params["sdf"], x)
+    def core_q(x, ps):
+        s, g, f = sdf_value_grad_feat(nets.sdf, ps, x)
         return x * 1.000001 + 1e-20 * (jnp.mean(s) + jnp.mean(g) + jnp.mean(f))
-    timed("sdf_valgradfeat_128spp", core_q, pts128)
+    timed("sdf_valgradfeat_128spp", core_q, pts128, consts=(params["sdf"],))
     # 3. color head
     feat = jax.random.normal(key, (B * (n_s + n_imp), nets.color.d_feature))
-    def color_q(x, dirs, ft):
-        c = render_net_apply(nets.color, params["color"], x, dirs, dirs, ft)
+    def color_q(x, dirs, ft, ps):
+        c = render_net_apply(nets.color, ps, x, dirs, dirs, ft)
         return x * 1.000001 + 1e-20 * jnp.mean(c)
-    timed("color_net_128spp", color_q, pts128, consts=(dirs128, feat))
+    timed("color_net_128spp", color_q, pts128,
+          consts=(dirs128, feat, params["color"]))
     # 4. background NeRF over 160 samples
-    def nerf_q(x):
-        d, c, _ = nerf_apply(nets.nerf, params["nerf"], x,
+    def nerf_q(x, ps):
+        d, c, _ = nerf_apply(nets.nerf, ps, x,
                              jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
                                               (x.shape[0], 3)))
         return x * 1.000001 + 1e-20 * (jnp.mean(d) + jnp.mean(c))
-    timed("bg_nerf_160spp", nerf_q, pts160)
+    timed("bg_nerf_160spp", nerf_q, pts160, consts=(params["nerf"],))
     # 5. one up-sample round (alpha estimate + inverse-CDF + merge happens
     #    4x per step at growing S)
     z0 = jnp.sort(jax.random.uniform(key, (B, n_s)) * 2.0 + 2.0, axis=-1)
@@ -185,14 +186,14 @@ def main(argv=None):
     timed("transmittance_160", comp_q, alpha0)
 
     # 8. full forward render
-    def fwd_q(o, d, nr, fr):
-        out = render(nets, params, o, d, nr, fr,
+    def fwd_q(o, d, nr, fr, ps):
+        out = render(nets, ps, o, d, nr, fr,
                      perturb_overwrite=0,
                      background_rgb=jnp.ones((1, 3)),
                      cos_anneal_ratio=1.0)
         return o * 1.000001 + 1e-20 * jnp.mean(out["color_fine"])
     timed("full_render_fwd", fwd_q, rays_o, iters=max(args.iters // 2, 10),
-          consts=(rays_d, near, far))
+          consts=(rays_d, near, far, params))
 
     # 9. full training step (render + all losses + bwd + adam)
     tcfg = TrainConfig(batch_size=B)
@@ -214,19 +215,19 @@ def main(argv=None):
     }
 
     @jax.jit
-    def step_loop(state):
+    def step_loop(state, batch):
         def body(s, _):
-            s2, _m = step(s, batch0)  # state chains -> distinct every iter
+            s2, _m = step(s, batch)  # state chains -> distinct every iter
             return s2, ()
         s, _ = jax.lax.scan(body, state, None, length=max(args.iters // 2, 10))
         return s
 
-    s = step_loop(state)
+    s = step_loop(state, batch0)
     jax.block_until_ready(s["step"])
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        s = step_loop(s)
+        s = step_loop(s, batch0)
         jax.block_until_ready(s["step"])
         best = min(best, time.perf_counter() - t0)
     step_ms = max(best - floor_s, 1e-9) / max(args.iters // 2, 10) * 1e3

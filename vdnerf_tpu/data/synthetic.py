@@ -139,6 +139,15 @@ def make_synthetic_scene(
 # -- compound scene: a nontrivial analytic SDF (sphere + torus + bump) -------
 
 
+# Compound-scene geometry (single source of truth for BOTH the numpy scene
+# renderer and the jnp Chamfer ground truth — keep in sync by construction)
+COMPOUND_SPHERE_R = 0.35
+COMPOUND_TORUS_R = 0.55
+COMPOUND_TORUS_r = 0.12
+COMPOUND_BUMP_C = (0.0, 0.0, 0.45)
+COMPOUND_BUMP_R = 0.18
+
+
 def compound_sdf(pts: np.ndarray) -> np.ndarray:
     """Exact union SDF of a sphere, an xy-plane torus, and a top bump.
 
@@ -147,13 +156,36 @@ def compound_sdf(pts: np.ndarray) -> np.ndarray:
     this field).
     """
     p = np.asarray(pts, dtype=np.float64)
-    sphere = np.linalg.norm(p, axis=-1) - 0.35
+    sphere = np.linalg.norm(p, axis=-1) - COMPOUND_SPHERE_R
     q = np.stack(
-        [np.linalg.norm(p[..., :2], axis=-1) - 0.55, p[..., 2]], axis=-1
+        [np.linalg.norm(p[..., :2], axis=-1) - COMPOUND_TORUS_R, p[..., 2]],
+        axis=-1,
     )
-    torus = np.linalg.norm(q, axis=-1) - 0.12
-    bump = np.linalg.norm(p - np.array([0.0, 0.0, 0.45]), axis=-1) - 0.18
+    torus = np.linalg.norm(q, axis=-1) - COMPOUND_TORUS_r
+    bump = (
+        np.linalg.norm(p - np.array(COMPOUND_BUMP_C), axis=-1)
+        - COMPOUND_BUMP_R
+    )
     return np.minimum(np.minimum(sphere, torus), bump)
+
+
+def compound_sdf_jnp(pts):
+    """jnp twin of :func:`compound_sdf` (same constants) for jitted grid
+    evaluation, e.g. extracting the Chamfer ground-truth surface."""
+    import jax.numpy as jnp
+
+    sphere = jnp.linalg.norm(pts, axis=-1) - COMPOUND_SPHERE_R
+    q = jnp.stack(
+        [jnp.linalg.norm(pts[..., :2], axis=-1) - COMPOUND_TORUS_R,
+         pts[..., 2]],
+        axis=-1,
+    )
+    torus = jnp.linalg.norm(q, axis=-1) - COMPOUND_TORUS_r
+    bump = (
+        jnp.linalg.norm(pts - jnp.asarray(COMPOUND_BUMP_C), axis=-1)
+        - COMPOUND_BUMP_R
+    )
+    return jnp.minimum(jnp.minimum(sphere, torus), bump)
 
 
 def _compound_normal(pts: np.ndarray, eps: float = 1e-4) -> np.ndarray:

@@ -65,8 +65,14 @@ def hull_membership(
         p = vh @ world_mats[i].T  # [V, 4]
         z = p[:, 2]
         ok = z > 1e-6
-        px = np.clip(p[:, 0] / np.where(ok, z, 1.0), -1, W).astype(np.int64)
-        py = np.clip(p[:, 1] / np.where(ok, z, 1.0), -1, H).astype(np.int64)
+        # floor, not truncation: astype() rounds toward zero, which would
+        # fold projections in (-1, 0) onto column/row 0 inside the image
+        px = np.floor(
+            np.clip(p[:, 0] / np.where(ok, z, 1.0), -1, W)
+        ).astype(np.int64)
+        py = np.floor(
+            np.clip(p[:, 1] / np.where(ok, z, 1.0), -1, H)
+        ).astype(np.int64)
         valid = ok & (px >= 0) & (px < W) & (py >= 0) & (py < H)
         hit = np.zeros(len(verts), bool)
         hit[valid] = masks[i][py[valid], px[valid]] > 0

@@ -56,11 +56,7 @@ def init_linear(
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
-    if "v" in p:
-        norm = jnp.linalg.norm(p["v"], axis=0, keepdims=True)
-        w = p["v"] * (p["g"][None, :] / norm)
-    else:
-        w = p["w"]
+    w = effective_weight(p)
     from vdnerf_tpu.models.precision import get_matmul_dtype
 
     mm_dtype = get_matmul_dtype()

@@ -233,15 +233,18 @@ class Runner:
         devices = jax.devices()
 
         # K steps per device dispatch: K must divide every observable cadence
-        # (metric write=10, report/save/val/mesh freqs) and the remaining
-        # iteration count, so behavior is identical to K=1 (same sampling
-        # stream, same event iters) while the ~3-4 ms/call host overhead is
-        # paid once per K steps.
+        # (metric write=10, report/save/val/mesh freqs), the remaining
+        # iteration count, AND the resume iteration (so window-end steps are
+        # ≡ 0 mod K and land on every event multiple) — behavior is then
+        # identical to K=1 (same sampling stream, same event iters) while the
+        # ~3-4 ms/call host overhead is paid once per K steps.
         res_step = self.tcfg.end_iter - self.iter_step
         k = max(1, self.tcfg.steps_per_call)
         for m in (10, self.tcfg.report_freq, self.tcfg.save_freq,
-                  self.tcfg.val_freq, self.tcfg.val_mesh_freq, res_step):
-            k = math.gcd(k, m)
+                  self.tcfg.val_freq, self.tcfg.val_mesh_freq, res_step,
+                  self.iter_step):
+            if m:  # gcd(k, 0) would keep k; iter_step=0 imposes no constraint
+                k = math.gcd(k, m)
 
         if len(devices) > 1:
             mesh = make_mesh(devices)
@@ -275,24 +278,29 @@ class Runner:
         # defeating the multi-step-dispatch amortization
         host_step = self.iter_step
         for _ in range(res_step // k):
-            idxs = []
+            # image draw and pixel sampling interleave per step exactly as
+            # with K=1 (the permutation refill can land mid-window), so the
+            # sampling stream is bit-identical across steps_per_call settings
+            step_batches = []
             for _j in range(k):
-                idxs.append(int(image_perm[perm_pos % len(image_perm)]))
+                idx = int(image_perm[perm_pos % len(image_perm)])
+                step_batches.append(
+                    self.store.sample_pixels(idx, self.tcfg.batch_size,
+                                             self.rng)
+                )
                 perm_pos += 1
                 if perm_pos % len(image_perm) == 0:
                     image_perm = self.rng.permutation(self.scene_data.n_images)
             if profile_dir and host_step <= 10 < host_step + k:
                 jax.profiler.start_trace(profile_dir)
             if k > 1:
-                batch = self.store.sample_pixel_steps(
-                    idxs, self.tcfg.batch_size, self.rng
-                )
-                self.state, metrics_k = step_fn(self.state, place(batch))
+                batch = {
+                    name: np.stack([b[name] for b in step_batches])
+                    for name in step_batches[0]
+                }
             else:
-                batch = self.store.sample_pixels(
-                    idxs[0], self.tcfg.batch_size, self.rng
-                )
-                self.state, metrics_k = step_fn(self.state, place(batch))
+                batch = step_batches[0]
+            self.state, metrics_k = step_fn(self.state, place(batch))
             first_step = host_step + 1
             host_step += k
             if profile_dir and host_step - k <= 15 < host_step:

@@ -75,12 +75,17 @@ def pretrain(argv=None):
         image_size=args.image_size, depth_size=args.image_size // 2,
         augment=True,
     )
-    # eval split (DenseDepth zip ships data/nyu2_test.csv); falls back to
-    # held-out train pairs when the test listing is absent
+    # eval split (DenseDepth zip ships data/nyu2_test.csv); when the test
+    # listing is absent, hold the last ~10% of the train pairs out of the
+    # training set so the val curve still measures unseen images
     try:
         val_dataset = NYUZipDataset(args.nyu_zip, "data/nyu2_test.csv")
     except KeyError:
-        val_dataset = dataset
+        val_dataset = NYUZipDataset(args.nyu_zip)
+        if len(dataset.pairs) > 1:
+            n_val = max(len(dataset.pairs) // 10, 1)
+            val_dataset.pairs = dataset.pairs[-n_val:]
+            dataset.pairs = dataset.pairs[:-n_val]
     val_loader = BatchLoader(
         val_dataset, args.batch_size, shuffle=False,
         image_size=args.image_size, depth_size=args.image_size // 2,
