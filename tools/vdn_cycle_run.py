@@ -1,0 +1,337 @@
+"""The full 5-step VDN view-dependence-normalization cycle at scale, on TPU,
+through the REAL product CLIs (the reference's workflow, SURVEY.md §3.4:
+dpt_runner.py train → getfeats → wavelet finetune_for_vdn.py →
+wavelet predict.py → dpt_runner.py train wdepth):
+
+  1. train NeuS (flagship womsk dims) on the compound analytic scene
+  2. export depth-from-SDF maps        (cli --mode getfeats_<it>)
+  3. finetune the wavelet monodepth encoder on those depths
+  4. extract the 96-ch VDN features    (wavelet predict CLI)
+  5. retrain NeuS with the distillation head consuming those features
+
+tests/test_vdn_cycle.py runs this loop at toy sizes on CPU; this tool is the
+at-scale QC evidence (flagship model dims, 256² views, DenseNet-161
+encoder). Writes <out>/vdn_cycle_report.json.
+
+Usage: python tools/vdn_cycle_run.py [--iters 12000] [--out /tmp/vdn_cycle]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_CONF = """\
+general {{
+    base_exp_dir = {exp_dir}
+    recording = []
+}}
+dataset {{
+    data_dir = {data_dir}
+    img_dir = image
+    depth_dir = 00
+    render_cameras_name = image/cameras_sphere.npz
+    object_cameras_name = image/cameras_sphere.npz
+}}
+train {{
+    learning_rate = 5e-4
+    learning_rate_alpha = 0.05
+    end_iter = {iters}
+    batch_size = {batch}
+    steps_per_call = 10
+    validate_resolution_level = 4
+    warm_up_end = {warm_up}
+    anneal_end = {anneal}
+    use_white_bkgd = True
+    save_freq = {iters}
+    val_freq = {val_freq}
+    val_mesh_freq = {iters}
+    report_freq = 500
+    igr_weight = 0.1
+    mask_weight = 0.0
+    use_mask = False
+{extra_train}
+}}
+model {{
+    nerf {{
+        D = 8, d_in = 4, d_in_view = 3, W = 256,
+        multires = 10, multires_view = 4, output_ch = 4, skips = [4],
+        rgb_dims = 3, use_viewdirs = True{nerf_extra}
+    }}
+    sdf_network {{
+        d_out = 257
+        d_in = 3
+        d_hidden = 256
+        n_layers = 8
+        skip_in = [4]
+        multires = 6
+        bias = 0.5
+        scale = 1.0
+        geometric_init = True
+        weight_norm = True
+    }}
+    variance_network {{ init_val = 0.3 }}
+    rendering_network {{
+        d_feature = 256
+        mode = idr
+        d_in = 9
+        d_out = 3
+        d_hidden = 256
+        n_layers = 4
+        weight_norm = True
+        multires_view = 4
+        squeeze_out = True
+    }}
+{depth_block}
+    neus_renderer {{
+        n_samples = 64
+        n_importance = 64
+        n_outside = 32
+        up_sample_steps = 4
+        perturb = 1.0
+        skip_bg_inside = {fast_bg}
+    }}
+}}
+"""
+
+DEPTH_BLOCK = """\
+    depth_extract_network {
+        d_feature = 256
+        mode = idr
+        d_in = 9
+        d_out = 96
+        d_hidden = 256
+        n_layers = 4
+        weight_norm = True
+        multires_view = 4
+        squeeze_out = True
+    }
+"""
+
+
+def object_masked_psnr(runner, scene_dir, n_views=4, res_level=2):
+    """Masked PSNR over the TRUE object masks (eval_mask/, metrics-only —
+    training uses the womsk dummy white masks)."""
+    import cv2 as cv
+    import numpy as np
+
+    from vdnerf_tpu.train.validate import val_image_metrics
+
+    sd = runner.scene_data
+    psnrs = []
+    for idx in range(0, sd.n_images, max(sd.n_images // n_views, 1)):
+        out = runner.renderer.render_image(
+            runner.state["params"], runner.state["cams"], idx, res_level,
+            runner.iter_step,
+        )
+        gt = runner.store.image_at(idx, res_level) / 255.0
+        stem = os.path.splitext(os.path.basename(sd.images_lis[idx]))[0]
+        m = cv.imread(
+            os.path.join(scene_dir, "image", "eval_mask", f"{stem}.png"), 0
+        ) / 255.0
+        if res_level > 1:
+            m = cv.resize(m, (sd.W // res_level, sd.H // res_level),
+                          interpolation=cv.INTER_AREA)
+        mask = (m[..., None] > 0.1).astype(np.float32)
+        _l1, psnr = val_image_metrics(out["img"], gt, mask)
+        psnrs.append(psnr)
+    return float(np.mean(psnrs))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=12000,
+                   help="NeuS iters for BOTH training legs")
+    p.add_argument("--out", type=str, default="/tmp/vdn_cycle")
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--views", type=int, default=24)
+    p.add_argument("--img-res", type=int, default=256)
+    p.add_argument("--encoder", type=str, default="densenet",
+                   help="wavelet encoder (densenet = the reference flagship)")
+    p.add_argument("--wavelet-epochs", type=int, default=6)
+    p.add_argument("--wavelet-bs", type=int, default=2)
+    p.add_argument("--fp32", action="store_true")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from vdnerf_tpu.models.precision import enable_bf16
+
+    enable_bf16(not args.fp32)
+
+    from vdnerf_tpu.cli import main as cli_main
+    from vdnerf_tpu.data.synthetic import make_compound_scene
+    from vdnerf_tpu.runner import Runner
+
+    case = "compound"
+    scene_dir = os.path.join(args.out, case)
+    os.makedirs(scene_dir, exist_ok=True)
+    report = {"config": vars(args), "stages": {}}
+
+    t0 = time.time()
+    make_compound_scene(scene_dir, n_images=args.views, H=args.img_res,
+                        W=args.img_res, background="textured")
+    # the wavelet NeusDataset reads OBJECT masks from <case>/mask/ (3-ch
+    # PNGs, reference data.py:332 — real captures ship them there even for
+    # womsk runs; background pixels get the depth-200 rule). The compound
+    # scene keeps its true object masks under image/eval_mask/ — mirror
+    # them into the wavelet layout.
+    import cv2 as cv
+
+    wmask_dir = os.path.join(scene_dir, "mask")
+    os.makedirs(wmask_dir, exist_ok=True)
+    em_dir = os.path.join(scene_dir, "image", "eval_mask")
+    for fn in os.listdir(em_dir):
+        m = cv.imread(os.path.join(em_dir, fn), 0)
+        cv.imwrite(os.path.join(wmask_dir, fn),
+                   np.repeat(m[..., None], 3, axis=-1))
+    report["stages"]["scene_gen_s"] = round(time.time() - t0, 1)
+    print(f"[cycle] scene: {args.views} views {args.img_res}^2 "
+          f"({report['stages']['scene_gen_s']}s)", flush=True)
+
+    def write_conf(path, exp_dir, wdepth):
+        extra = ""
+        if wdepth:
+            extra = (f"    extract_depth = True\n"
+                     f"    depth_start_iter = {args.iters // 10}\n"
+                     f"    depth_before_color = False\n"
+                     f"    rgb_dims = 3")
+        with open(path, "w") as f:
+            f.write(BASE_CONF.format(
+                exp_dir=exp_dir, data_dir=scene_dir, iters=args.iters,
+                batch=args.batch, warm_up=max(args.iters // 50, 100),
+                anneal=max(args.iters // 4, 1000),
+                val_freq=args.iters // 2,
+                extra_train=extra,
+                nerf_extra=(",\n        gen_depth_feats = True, dpt_dim = 96"
+                            if wdepth else ""),
+                depth_block=DEPTH_BLOCK if wdepth else "",
+                fast_bg="True",
+            ))
+        return path
+
+    # -- 1. base NeuS training (CLI) ------------------------------------
+    base_conf = write_conf(os.path.join(args.out, "base.conf"),
+                           os.path.join(args.out, "exp_base"), wdepth=False)
+    t1 = time.time()
+    cli_main(["--conf", base_conf, "--mode", "train"])
+    report["stages"]["train_base_s"] = round(time.time() - t1, 1)
+    runner = Runner(base_conf, mode="eval", is_continue=True)
+    base_psnr = object_masked_psnr(runner, scene_dir)
+    report["base_object_masked_psnr_res2"] = round(base_psnr, 3)
+    print(f"[cycle] base train {report['stages']['train_base_s']}s, "
+          f"object-masked PSNR {base_psnr:.2f} dB", flush=True)
+    del runner
+
+    # -- 2. depth-from-SDF export (CLI) ----------------------------------
+    t2 = time.time()
+    cli_main(["--conf", base_conf, "--mode", f"getfeats_{args.iters}"])
+    sdf_dir = os.path.join(scene_dir, "image", "depth_from_sdf")
+    n_exports = len([f for f in os.listdir(sdf_dir) if f.endswith(".npy")])
+    assert n_exports == args.views, (n_exports, args.views)
+    report["stages"]["getfeats_s"] = round(time.time() - t2, 1)
+    depths = np.stack([
+        np.load(os.path.join(sdf_dir, f))
+        for f in sorted(os.listdir(sdf_dir)) if f.endswith(".npy")
+    ])
+    report["depth_export"] = {
+        "n_maps": int(n_exports),
+        "depth_mean": round(float(depths.mean()), 4),
+        "depth_finite": bool(np.isfinite(depths).all()),
+    }
+    print(f"[cycle] getfeats: {n_exports} maps "
+          f"({report['stages']['getfeats_s']}s)", flush=True)
+
+    # -- 3. wavelet encoder finetune on the exported depths ---------------
+    from vdnerf_tpu.wavelet.finetune import finetune
+
+    t3 = time.time()
+    logpath = finetune([
+        "-r", args.out, "--case", case,
+        "--epochs", str(args.wavelet_epochs),
+        "-bs", str(args.wavelet_bs),
+        "--image_size", str(args.img_res),
+        "--encoder_type", args.encoder,
+        "--logdir", os.path.join(args.out, "wavelet_log"),
+        "--val_freq", "50", "--save_freq", str(args.wavelet_epochs),
+    ])
+    ckpts = []
+    for root, _dirs, files in os.walk(logpath):
+        ckpts += [os.path.join(root, f) for f in files if f == "model.npz"]
+    assert ckpts, f"no wavelet checkpoint under {logpath}"
+    report["stages"]["wavelet_finetune_s"] = round(time.time() - t3, 1)
+    print(f"[cycle] wavelet finetune ({args.encoder}) "
+          f"{report['stages']['wavelet_finetune_s']}s", flush=True)
+
+    # -- 4. 96-ch VDN feature extraction (CLI) ----------------------------
+    from vdnerf_tpu.wavelet.predict import main as predict_main
+
+    t4 = time.time()
+    predict_main([
+        "-ckpt", os.path.dirname(ckpts[0]), "--ckpt_name", "model.npz",
+        "-d", os.path.join(scene_dir, "image"),
+        "--encoder_type", args.encoder,
+    ])
+    feat_dir = os.path.join(scene_dir, "image", "wavelet_feats", "0")
+    feats0 = np.load(os.path.join(feat_dir, sorted(os.listdir(feat_dir))[0]))
+    report["stages"]["predict_s"] = round(time.time() - t4, 1)
+    report["vdn_features"] = {
+        "n_views": len(os.listdir(feat_dir)),
+        "shape": list(feats0.shape),
+        "finite": bool(np.isfinite(feats0).all()),
+    }
+    print(f"[cycle] features: {report['vdn_features']} "
+          f"({report['stages']['predict_s']}s)", flush=True)
+
+    # -- 5. retrain with the distillation head on those features ----------
+    wdepth_conf = write_conf(os.path.join(args.out, "wdepth.conf"),
+                             os.path.join(args.out, "exp_wdepth"),
+                             wdepth=True)
+    # point the dataset at the extracted features
+    txt = open(wdepth_conf).read().replace("depth_dir = 00",
+                                           "depth_dir = wavelet_feats/0")
+    with open(wdepth_conf, "w") as f:
+        f.write(txt)
+    t5 = time.time()
+    cli_main(["--conf", wdepth_conf, "--mode", "train"])
+    report["stages"]["train_wdepth_s"] = round(time.time() - t5, 1)
+    runner = Runner(wdepth_conf, mode="eval", is_continue=True)
+    wdepth_psnr = object_masked_psnr(runner, scene_dir)
+    report["wdepth_object_masked_psnr_res2"] = round(wdepth_psnr, 3)
+
+    with open(os.path.join(args.out, "exp_wdepth", "logs",
+                           "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    dlosses = [r["depth_loss"] for r in records if "depth_loss" in r]
+    assert dlosses, "distillation loss never fired"
+    report["distillation"] = {
+        "depth_loss_first": round(dlosses[0], 4),
+        "depth_loss_last": round(dlosses[-1], 4),
+        "all_losses_finite": bool(
+            np.isfinite([r["loss"] for r in records]).all()
+        ),
+    }
+    print(f"[cycle] wdepth train {report['stages']['train_wdepth_s']}s, "
+          f"object-masked PSNR {wdepth_psnr:.2f} dB, depth_loss "
+          f"{dlosses[0]:.3f} -> {dlosses[-1]:.3f}", flush=True)
+
+    report["total_wall_s"] = round(time.time() - t0, 1)
+    with open(os.path.join(args.out, "vdn_cycle_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({
+        "base_psnr": report["base_object_masked_psnr_res2"],
+        "wdepth_psnr": report["wdepth_object_masked_psnr_res2"],
+        "depth_loss_drop": [report["distillation"]["depth_loss_first"],
+                            report["distillation"]["depth_loss_last"]],
+        "total_wall_s": report["total_wall_s"],
+    }), flush=True)
+    return report
+
+
+if __name__ == "__main__":
+    main()
