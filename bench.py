@@ -137,6 +137,58 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
     return rays_per_sec, best_dt / n_steps
 
 
+def bench_render(n_rays: int = 65536, chunk: int = 8192, n_chunks: int = 64):
+    """Forward-only (inference/serving) throughput: the chunked image-render
+    path (train/validate.py ImageRenderer) on the flagship model, bf16.
+
+    Measures a dependency-chained sequence of render chunks (each chunk's
+    origin jitter derives from the previous chunk's output so the backend
+    cannot memoize) with one final host read.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vdnerf_tpu.models.precision import enable_bf16
+
+    enable_bf16(True)
+
+    from __graft_entry__ import _full_size_setup
+    from vdnerf_tpu.data.dataset import near_far_from_sphere
+    from vdnerf_tpu.ops.renderer import render
+
+    nets, params, _ = _full_size_setup(batch=chunk, small=False)
+    rng = np.random.default_rng(0)
+    o = np.tile([[0.0, 0.0, 3.0]], (chunk, 1)).astype(np.float32)
+    d = rng.normal(size=(chunk, 3)).astype(np.float32)
+    d[:, 2] = -3.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    @jax.jit
+    def render_chunks(ps, o0, d0):
+        def body(carry, _):
+            oo = carry
+            near, far = near_far_from_sphere(oo, d0)
+            out = render(nets, ps, oo, d0, near, far,
+                         perturb_overwrite=0,
+                         background_rgb=jnp.ones((1, 3)),
+                         cos_anneal_ratio=1.0)
+            # chain: next chunk's origins nudged by this chunk's colors
+            oo = oo + 1e-7 * jnp.mean(out["color_fine"])
+            return oo, jnp.mean(out["color_fine"])
+        oo, cs = jax.lax.scan(body, o0, None, length=n_chunks)
+        return jnp.sum(cs)
+
+    s = float(render_chunks(params, o, d))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = float(render_chunks(params, o * (1.0 + abs(s) * 1e-12), d))
+        best = min(best, time.perf_counter() - t0)
+    return chunk * n_chunks / best
+
+
 def main():
     import jax
 
@@ -197,6 +249,13 @@ def main():
         out["fast_bg_vs_baseline"] = round(
             fast_rps / n_chips / TORCH_BASELINE_RAYS_PER_SEC, 2
         )
+    try:
+        render_rps = bench_render()
+        print(f"[bench] render-only: {render_rps:,.0f} rays/s",
+              file=sys.stderr)
+        out["render_rays_per_sec"] = round(render_rps / n_chips, 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] render bench failed: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 
