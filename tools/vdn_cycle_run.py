@@ -34,7 +34,7 @@ general {{
 dataset {{
     data_dir = {data_dir}
     img_dir = image
-    depth_dir = 00
+    depth_dir = {depth_dir}
     render_cameras_name = image/cameras_sphere.npz
     object_cameras_name = image/cameras_sphere.npz
 }}
@@ -170,6 +170,15 @@ def main(argv=None):
 
     case = "compound"
     scene_dir = os.path.join(args.out, case)
+    # a reused out dir would silently evaluate stale artifacts (is_continue
+    # picks the HIGHEST-numbered checkpoint regardless of which run wrote
+    # it; old depth_from_sdf/wavelet ckpts linger) — refuse it
+    for stale in ("exp_base", "exp_wdepth", "wavelet_log", case):
+        if os.path.exists(os.path.join(args.out, stale)):
+            raise SystemExit(
+                f"--out {args.out} already contains '{stale}' from a "
+                f"previous run; pass a fresh directory (or delete it)"
+            )
     os.makedirs(scene_dir, exist_ok=True)
     report = {"config": vars(args), "stages": {}}
 
@@ -211,6 +220,7 @@ def main(argv=None):
                 nerf_extra=(",\n        gen_depth_feats = True, dpt_dim = 96"
                             if wdepth else ""),
                 depth_block=DEPTH_BLOCK if wdepth else "",
+                depth_dir="wavelet_feats/0" if wdepth else "00",
                 fast_bg="True",
             ))
         return path
@@ -221,7 +231,8 @@ def main(argv=None):
     t1 = time.time()
     cli_main(["--conf", base_conf, "--mode", "train"])
     report["stages"]["train_base_s"] = round(time.time() - t1, 1)
-    runner = Runner(base_conf, mode="eval", is_continue=True)
+    runner = Runner(base_conf, mode="eval")
+    runner.load_checkpoint_iter(args.iters)  # the exact leg, not "latest"
     base_psnr = object_masked_psnr(runner, scene_dir)
     report["base_object_masked_psnr_res2"] = round(base_psnr, 3)
     print(f"[cycle] base train {report['stages']['train_base_s']}s, "
@@ -292,15 +303,11 @@ def main(argv=None):
     wdepth_conf = write_conf(os.path.join(args.out, "wdepth.conf"),
                              os.path.join(args.out, "exp_wdepth"),
                              wdepth=True)
-    # point the dataset at the extracted features
-    txt = open(wdepth_conf).read().replace("depth_dir = 00",
-                                           "depth_dir = wavelet_feats/0")
-    with open(wdepth_conf, "w") as f:
-        f.write(txt)
     t5 = time.time()
     cli_main(["--conf", wdepth_conf, "--mode", "train"])
     report["stages"]["train_wdepth_s"] = round(time.time() - t5, 1)
-    runner = Runner(wdepth_conf, mode="eval", is_continue=True)
+    runner = Runner(wdepth_conf, mode="eval")
+    runner.load_checkpoint_iter(args.iters)
     wdepth_psnr = object_masked_psnr(runner, scene_dir)
     report["wdepth_object_masked_psnr_res2"] = round(wdepth_psnr, 3)
 

@@ -80,6 +80,13 @@ def main(argv=None) -> None:
             resolution_level=2, gen_depth_for_finetune=False, both_mask=True
         )
     elif args.mode.startswith("showcam"):
+        # `showcam_<iter>` loads that checkpoint (incl. the pnf pose/focal
+        # state, io/checkpoints.py) so the exported poses are the LEARNED
+        # ones — the reference loads pnf_<iter>.pth here
+        # (dpt_runner.py:783-786)
+        suffix = args.mode.split("_")[-1]
+        if suffix.isdigit():
+            runner.load_checkpoint_iter(int(suffix))
         runner.show_cam_pose()
     else:
         raise SystemExit(f"unknown mode: {args.mode}")
