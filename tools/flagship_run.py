@@ -61,6 +61,12 @@ def main(argv=None):
                    help="use the fused Pallas MLP kernels")
     p.add_argument("--fast-bg", action="store_true",
                    help="skip_bg_inside: bg NeRF on the outside block only")
+    p.add_argument("--learn", action="store_true",
+                   help="womsk_learn path: noisy initial poses + learned "
+                        "pose/focal refinement")
+    p.add_argument("--learn-frozen", action="store_true",
+                   help="control for --learn: same noisy poses, frozen "
+                        "(no refinement) — isolates the refinement benefit")
     p.add_argument("--feat-max-freq", type=float, default=5.0,
                    help="wdepth teacher-feature top frequency (rad per depth "
                         "unit); ~5 matches the smoothness of real wavelet-"
@@ -193,12 +199,51 @@ def main(argv=None):
         depth_start_iter=args.iters // 10 if wdepth else 0,
         depth_ramp_iters=max(args.iters // 10, 1) if wdepth else 5000,
     )
+    if args.learn or args.learn_frozen:
+        # womsk_learn_* path: perturb the true poses (~1.4 deg rotations,
+        # ~0.02 translations — COLMAP-grade noise); --learn lets the
+        # refinement recover photometric consistency, --learn-frozen keeps
+        # the same noisy poses static as the control
+        prng = np.random.default_rng(5)
+        perturbed = sd.pose_all.copy()
+
+        from scipy.spatial.transform import Rotation as Rot
+
+        for i in range(sd.n_images):
+            perturbed[i, :3, :3] = (
+                Rot.from_rotvec(prng.normal(scale=0.025, size=3))
+                .as_matrix().astype(np.float32) @ perturbed[i, :3, :3]
+            )
+            perturbed[i, :3, 3] += prng.normal(scale=0.02, size=3)
+    if args.learn:
+        import dataclasses as _dc
+
+        from vdnerf_tpu.data.cameras import (
+            init_focal_params,
+            init_pose_params,
+        )
+
+        tcfg = _dc.replace(
+            tcfg, learnable=True, focal_lr=5e-4, pose_lr=5e-4,
+            focal_lr_gamma=0.9, pose_lr_gamma=0.9,
+            step_size=max(args.iters // 50, 100),
+            start_refine_pose_iter=-1, start_refine_focal_iter=-1,
+        )
     params = init_params(jax.random.PRNGKey(0), nets, 0.3)
-    cams = {
-        "pose_all": jnp.asarray(sd.pose_all),
-        "intrin_inv_all": jnp.asarray(sd.intrinsics_all_inv),
-    }
-    scene = SceneStatic(H=sd.H, W=sd.W)
+    if args.learn:
+        cams = {
+            "pose": init_pose_params(sd.n_images),
+            "focal": init_focal_params(float(sd.focal), sd.W),
+            "init_c2w": jnp.asarray(perturbed),
+        }
+    else:
+        cams = {
+            "pose_all": jnp.asarray(
+                perturbed if args.learn_frozen else sd.pose_all
+            ),
+            "intrin_inv_all": jnp.asarray(sd.intrinsics_all_inv),
+        }
+    scene = SceneStatic(H=sd.H, W=sd.W, learnable=args.learn)
     state = init_state(params, tcfg, cams, jax.random.PRNGKey(1))
     # 10 steps per device dispatch (the runner's steps_per_call path):
     # amortizes the ~3-4 ms/call host overhead against the ~13 ms step
@@ -228,8 +273,10 @@ def main(argv=None):
         return store.mask_at(idx, res_level)
 
     def masked_psnr(idx: int, res_level: int) -> tuple[float, float, float]:
+        # state["cams"] so learnable runs render through the LEARNED cameras
         out = img_renderer.render_image(
-            state["params"], cams, idx, res_level, int(state["step"])
+            state["params"], state["cams"], idx, res_level,
+            int(state["step"])
         )
         gt = store.image_at(idx, res_level) / 255.0
         mask = (eval_mask_at(idx, res_level) > 0.1).astype(np.float32)
@@ -284,6 +331,34 @@ def main(argv=None):
     final_eik = float(np.mean([f[2] for f in finals]))
     print(f"final full-res masked PSNR {final_psnr:.2f} dB "
           f"(eikonal {final_eik:.4f})", flush=True)
+
+    pose_stats = None
+    if args.learn:
+        from vdnerf_tpu.data.cameras import all_learned_c2w
+
+        learned = np.asarray(all_learned_c2w(
+            state["cams"]["pose"], state["cams"]["init_c2w"]
+        ))
+
+        def rot_err_deg(a, b):
+            R = np.matmul(a[:, :3, :3], np.swapaxes(b[:, :3, :3], 1, 2))
+            tr = np.clip((np.trace(R, axis1=1, axis2=2) - 1.0) / 2.0, -1, 1)
+            return float(np.degrees(np.arccos(tr)).mean())
+
+        pose_stats = {
+            # absolute errors vs GT are gauge-limited (photometric
+            # self-consistency fixes cameras only up to a similarity; the
+            # fields absorb the rest) — PSNR is the meaningful metric
+            "init_rot_err_deg": round(rot_err_deg(perturbed, sd.pose_all), 4),
+            "final_rot_err_deg": round(rot_err_deg(learned, sd.pose_all), 4),
+            "pose_param_delta_max": round(float(
+                np.abs(np.asarray(state["cams"]["pose"]["r"])).max()
+            ), 5),
+            "focal_coef": round(float(
+                np.asarray(state["cams"]["focal"]["fx"]).ravel()[0]
+            ), 5),
+        }
+        print(f"pose refine: {pose_stats}", flush=True)
 
     # 512^3 mesh through the native extractor
     params_f = state["params"]
@@ -353,6 +428,8 @@ def main(argv=None):
                 "flagship womsk_white dims (8x256 SDF, 64+64+32 samples)"
             ),
             "train_mode": args.train_mode,
+            "learn_cameras": args.learn,
+            "learn_frozen_control": args.learn_frozen,
             "bf16": not args.fp32, "fused_mlp": args.fused,
             "fast_bg": args.fast_bg,
         },
@@ -362,6 +439,7 @@ def main(argv=None):
         "final_masked_psnr_fullres": round(final_psnr, 3),
         "final_eikonal": round(final_eik, 5),
         "final_train_metrics": last_metrics,
+        "pose_refinement": pose_stats,
         "mesh": {
             "n_verts": int(len(verts)), "n_tris": int(len(tris)),
             "extract_wall_s": round(mesh_wall, 1), **manifold,
