@@ -89,7 +89,9 @@ def test_cli_train_steps_per_call_cadence(tmp_path):
         val_mesh_freq=20,
     )
     txt = open(conf).read()
-    txt = re.sub(r"(end_iter = 20)", r"\1\n    steps_per_call = 5", txt)
+    txt, n_sub = re.subn(r"(end_iter = 20)", r"\1\n    steps_per_call = 5",
+                         txt)
+    assert n_sub == 1, "conf template changed; steps_per_call not injected"
     with open(conf, "w") as f:
         f.write(txt)
 
@@ -154,3 +156,48 @@ def test_cli_resume_continues_training(tmp_path):
     r.train()
     assert r.iter_step == 6
     assert os.path.exists(os.path.join(d, "exp/checkpoints/ckpt_000006.npz"))
+
+
+def test_resume_from_unaligned_iteration_keeps_events(tmp_path):
+    """Resuming from a checkpoint at an iteration that does not divide
+    steps_per_call (e.g. an imported reference ckpt_000007) must still fire
+    every save/val event: the runner drops the window size so window-end
+    steps stay aligned to the event cadences."""
+    import re
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    d = str(tmp_path)
+    make_synthetic_scene(d, n_images=3, H=32, W=32)
+    conf = os.path.join(d, "synthetic.conf")
+    write_synthetic_conf(
+        conf, data_dir=d, exp_dir=os.path.join(d, "exp"),
+        end_iter=17, batch_size=64, save_freq=10, val_freq=100000,
+        val_mesh_freq=100000,
+    )
+    txt = open(conf).read()
+    txt, n_sub = re.subn(r"(end_iter = 17)", r"\1\n    steps_per_call = 10",
+                         txt)
+    assert n_sub == 1, "conf template changed; steps_per_call not injected"
+    with open(conf, "w") as f:
+        f.write(txt)
+
+    from vdnerf_tpu.io import checkpoint_path, save_state
+    from vdnerf_tpu.runner import Runner
+
+    # plant a checkpoint at the unaligned iteration 7
+    r0 = Runner(conf, mode="train")
+    state = dict(r0.state)
+    state["step"] = jnp.asarray(7, jnp.int32)
+    os.makedirs(os.path.join(d, "exp", "checkpoints"), exist_ok=True)
+    save_state(checkpoint_path(os.path.join(d, "exp"), 7), state)
+    del r0
+
+    r = Runner(conf, mode="train", is_continue=True)
+    assert r.iter_step == 7
+    r.train()
+    assert r.iter_step == 17
+    # the iter-10 save event landed despite 10 not being a window end of
+    # any k>1 window starting at 7
+    assert os.path.exists(os.path.join(d, "exp/checkpoints/ckpt_000010.npz"))

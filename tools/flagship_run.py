@@ -199,22 +199,17 @@ def main(argv=None):
         depth_start_iter=args.iters // 10 if wdepth else 0,
         depth_ramp_iters=max(args.iters // 10, 1) if wdepth else 5000,
     )
+    if args.learn and args.learn_frozen:
+        raise SystemExit("--learn and --learn-frozen are mutually exclusive "
+                         "(the frozen run IS the control for --learn)")
     if args.learn or args.learn_frozen:
-        # womsk_learn_* path: perturb the true poses (~1.4 deg rotations,
-        # ~0.02 translations — COLMAP-grade noise); --learn lets the
+        # womsk_learn_* path: perturb the true poses (~2 deg mean rotations,
+        # 0.02 translations — COLMAP-grade noise); --learn lets the
         # refinement recover photometric consistency, --learn-frozen keeps
         # the same noisy poses static as the control
-        prng = np.random.default_rng(5)
-        perturbed = sd.pose_all.copy()
+        from vdnerf_tpu.data.cameras import perturb_poses
 
-        from scipy.spatial.transform import Rotation as Rot
-
-        for i in range(sd.n_images):
-            perturbed[i, :3, :3] = (
-                Rot.from_rotvec(prng.normal(scale=0.025, size=3))
-                .as_matrix().astype(np.float32) @ perturbed[i, :3, :3]
-            )
-            perturbed[i, :3, 3] += prng.normal(scale=0.02, size=3)
+        perturbed = perturb_poses(sd.pose_all, np.random.default_rng(5))
     if args.learn:
         import dataclasses as _dc
 
@@ -351,8 +346,11 @@ def main(argv=None):
             # fields absorb the rest) — PSNR is the meaningful metric
             "init_rot_err_deg": round(rot_err_deg(perturbed, sd.pose_all), 4),
             "final_rot_err_deg": round(rot_err_deg(learned, sd.pose_all), 4),
-            "pose_param_delta_max": round(float(
+            "pose_param_delta_max_r": round(float(
                 np.abs(np.asarray(state["cams"]["pose"]["r"])).max()
+            ), 5),
+            "pose_param_delta_max_t": round(float(
+                np.abs(np.asarray(state["cams"]["pose"]["t"])).max()
             ), 5),
             "focal_coef": round(float(
                 np.asarray(state["cams"]["focal"]["fx"]).ravel()[0]
@@ -388,7 +386,27 @@ def main(argv=None):
             for i in range(sd.n_images)
         ]
     ).astype(np.uint8)
-    world_mats = np.stack(sd.world_mats_np)
+    # hull-clip with the cameras the mesh was RECONSTRUCTED under: the
+    # learned (or frozen-noisy) frame drifts a few degrees from GT, which
+    # would wrongly cull genuine surface if GT projection matrices were used
+    if args.learn:
+        from vdnerf_tpu.data.cameras import all_learned_c2w, learn_intrin_K
+
+        c2w = np.asarray(all_learned_c2w(
+            state["cams"]["pose"], state["cams"]["init_c2w"]
+        ))
+        K_l = np.asarray(learn_intrin_K(
+            jax.tree_util.tree_map(np.asarray, state["cams"]["focal"]),
+            sd.H, sd.W,
+        ))
+        world_mats = np.stack([K_l @ np.linalg.inv(c) for c in c2w])
+    elif args.learn_frozen:
+        world_mats = np.stack([
+            sd.intrinsics_all[i] @ np.linalg.inv(perturbed[i])
+            for i in range(sd.n_images)
+        ])
+    else:
+        world_mats = np.stack(sd.world_mats_np)
     cverts, ctris, clean_stats = clean_mesh(
         verts, tris, eval_masks, world_mats
     )

@@ -29,7 +29,6 @@ def run(learnable: bool, iters: int, scene_dir: str) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from scipy.spatial.transform import Rotation as Rot
 
     from vdnerf_tpu.data.cameras import init_focal_params, init_pose_params
     from vdnerf_tpu.data.dataset import SceneData
@@ -54,16 +53,9 @@ def run(learnable: bool, iters: int, scene_dir: str) -> float:
     })["dataset"])
     store = RayStore(sd.images_lis, sd.masks_lis)
 
-    rng = np.random.default_rng(5)
-    perturbed = sd.pose_all.copy()
-    for i in range(sd.n_images):
-        dr = rng.normal(scale=0.025, size=3)
-        dt = rng.normal(scale=0.02, size=3)
-        perturbed[i, :3, :3] = (
-            Rot.from_rotvec(dr).as_matrix().astype(np.float32)
-            @ perturbed[i, :3, :3]
-        )
-        perturbed[i, :3, 3] += dt
+    from vdnerf_tpu.data.cameras import perturb_poses
+
+    perturbed = perturb_poses(sd.pose_all, np.random.default_rng(5))
 
     nets = NeuSNetworks(sdf=SDFConfig(), color=RenderConfig(),
                         nerf=NeRFConfig(), renderer=RendererConfig())

@@ -54,6 +54,26 @@ def all_learned_c2w(pose_params: dict, init_c2w: jax.Array) -> jax.Array:
     return delta @ init_c2w
 
 
+def perturb_poses(
+    poses, rng, rot_scale: float = 0.025, trans_scale: float = 0.02
+):
+    """COLMAP-grade camera noise: left-multiply each rotation by a random
+    rotvec (~2 deg mean geodesic angle at the default scale — chi(3) mean
+    1.6 x 0.025 rad) and jitter translations. Shared by the camera-
+    refinement tools (pose_refine_demo, flagship_run --learn)."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation as Rot
+
+    out = np.array(poses, copy=True)
+    for i in range(out.shape[0]):
+        out[i, :3, :3] = (
+            Rot.from_rotvec(rng.normal(scale=rot_scale, size=3))
+            .as_matrix().astype(out.dtype) @ out[i, :3, :3]
+        )
+        out[i, :3, 3] += rng.normal(scale=trans_scale, size=3)
+    return out
+
+
 def init_focal_params(init_focal: float | None, W: int, order: int = 2) -> dict:
     if init_focal is None:
         coe = 1.0
