@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="profile with the fused Pallas MLP kernels")
+    p.add_argument("--fast-bg", action="store_true",
+                   help="profile the skip_bg_inside production mode (the "
+                        "analytic bg-NeRF flop count is NOT adjusted — the "
+                        "per-component ms are the meaningful numbers)")
     p.add_argument("--out", type=str, default="docs/PROFILE_r02.json")
     args = p.parse_args(argv)
 
@@ -61,6 +65,13 @@ def main(argv=None):
 
     B = args.batch
     nets, params, (rays_o, rays_d, near, far) = _full_size_setup(batch=B)
+    if args.fast_bg:
+        import dataclasses
+
+        nets = dataclasses.replace(
+            nets,
+            renderer=dataclasses.replace(nets.renderer, skip_bg_inside=True),
+        )
     print(f"device: {jax.devices()[0]}, batch {B}", file=sys.stderr)
 
     key = jax.random.PRNGKey(0)
@@ -255,6 +266,7 @@ def main(argv=None):
         ) * 3.0,  # fwd + ~2x bwd
     }
     report = {"batch": B, "bf16": not args.fp32, "fused": args.fused,
+              "fast_bg": args.fast_bg,
               "dispatch_floor_ms": round(floor_s * 1e3, 2),
               "components_ms": results, "tflops_est": {}}
     print(f"\n{'component':<28s} {'ms':>8s} {'% step':>7s} {'TF/s':>7s}",
