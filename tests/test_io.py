@@ -158,3 +158,148 @@ def test_import_torch_checkpoint(tmp_path):
 
     theirs = torch_sdf_forward(x)
     np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def _torch_model_set(nets):
+    """Torch twins of all four networks, reference state-dict layout."""
+    import torch
+    tnn = torch.nn
+
+    class TorchLayered(tnn.Module):
+        def __init__(self, dims):
+            super().__init__()
+            for l in range(len(dims) - 1):
+                setattr(self, f"lin{l}",
+                        tnn.utils.weight_norm(tnn.Linear(dims[l], dims[l + 1])))
+
+    class TorchNeRF(tnn.Module):
+        def __init__(self, cfg):
+            super().__init__()
+            self.pts_linears = tnn.ModuleList(
+                [tnn.Linear(cfg.input_ch, cfg.W)]
+                + [tnn.Linear(cfg.W + cfg.input_ch if i in cfg.skips else cfg.W,
+                              cfg.W) for i in range(cfg.D - 1)]
+            )
+            self.views_linears = tnn.ModuleList(
+                [tnn.Linear(cfg.input_ch_view + cfg.W, cfg.W // 2)]
+            )
+            self.feature_linear = tnn.Linear(cfg.W, cfg.W)
+            self.alpha_linear = tnn.Linear(cfg.W, 1)
+            self.rgb_linear = tnn.Linear(cfg.W // 2, cfg.rgb_dims)
+
+    class TorchVar(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.variance = tnn.Parameter(torch.tensor(0.3))
+
+    return (TorchNeRF(nets.nerf), TorchLayered(nets.sdf.dims), TorchVar(),
+            TorchLayered(nets.color.dims))
+
+
+def test_adam_moment_import_steps_identically(tmp_path):
+    """The converted torch Adam moments must make optax take the SAME next
+    update step as torch does (VERDICT r2 #7: warm-optimizer resume).
+
+    Drives a real torch Adam for 3 steps with seeded synthetic gradients,
+    saves the reference checkpoint format (params_to_train order
+    dpt_runner.py:116-130 + optimizer state dpt_runner.py:373), imports
+    params+moments, grafts them into a fresh optax.adam state, then applies
+    one more identical gradient in both frameworks and compares the
+    resulting parameters."""
+    torch = pytest.importorskip("torch")
+
+    from vdnerf_tpu.io.checkpoints import (
+        _convert_param_tree,
+        import_torch_checkpoint,
+    )
+    from vdnerf_tpu.runner import _restore_adam_moments
+
+    nets = small_nets()
+    torch.manual_seed(0)
+    tnerf, tsdf, tvar, tcolor = _torch_model_set(nets)
+    params_to_train = (
+        list(tnerf.parameters()) + list(tsdf.parameters())
+        + list(tvar.parameters()) + list(tcolor.parameters())
+    )
+    lr = 5e-3
+    opt = torch.optim.Adam(params_to_train, lr=lr)
+
+    net_named = {
+        "nerf": tnerf, "sdf_network_fine": tsdf,
+        "variance_network_fine": tvar, "color_network_fine": tcolor,
+    }
+
+    def set_grads(seed):
+        g = torch.Generator().manual_seed(seed)
+        grad_of = {}
+        for key, mod in net_named.items():
+            grad_of[key] = {}
+            for name, p in mod.named_parameters():
+                t = torch.randn(p.shape, generator=g) * 0.01
+                p.grad = t.clone()
+                grad_of[key][name] = t
+        return grad_of
+
+    for s in range(3):
+        set_grads(s)
+        opt.step()
+
+    ckpt = {
+        "sdf_network_fine": tsdf.state_dict(),
+        "color_network_fine": tcolor.state_dict(),
+        "variance_network_fine": tvar.state_dict(),
+        "nerf": tnerf.state_dict(),
+        "depth_network_fine": None,
+        "optimizer": opt.state_dict(),
+        "iter_step": 3,
+    }
+    pth = str(tmp_path / "ckpt_000003.pth")
+    torch.save(ckpt, pth)
+
+    params, it, moments = import_torch_checkpoint(
+        pth, nets, extract_depth=False, with_optimizer=True
+    )
+    assert it == 3
+    assert moments is not None
+    mu, nu, count = moments
+    assert count == 3
+    # moment trees mirror the params tree exactly
+    assert (jax.tree_util.tree_structure(mu)
+            == jax.tree_util.tree_structure(params))
+
+    import optax
+
+    jopt = optax.adam(lr)
+    opt_state = _restore_adam_moments(jopt.init(params), mu, nu, count)
+
+    # one more identical step on both sides
+    grad_of = set_grads(99)
+    opt.step()
+    grads = _convert_param_tree(
+        lambda k: grad_of[k], nets, extract_depth=False, ckpt=ckpt
+    )
+    updates, _ = jopt.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    theirs = _convert_param_tree(
+        lambda k: net_named[k].state_dict(), nets, extract_depth=False,
+        ckpt=ckpt,
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(new_params)[0],
+        jax.tree_util.tree_flatten_with_path(theirs)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(pa)
+        )
+
+    # a cold optimizer (no moment graft) takes a DIFFERENT step — the graft
+    # is load-bearing, not vacuous
+    cold_updates, _ = jopt.update(grads, jopt.init(params), params)
+    cold = optax.apply_updates(params, cold_updates)
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(cold),
+                        jax.tree_util.tree_leaves(theirs))
+    ]
+    assert max(diffs) > 1e-4

@@ -109,6 +109,56 @@ def test_clean_mesh_culls_out_of_hull_junk():
     assert np.abs(cv_).max() < 0.3
 
 
+def test_hull_membership_scale_mats_frame():
+    """Real-capture frame contract: verts in the normalized object frame +
+    a non-identity scale_mat must project identically to world-frame verts
+    through world_mat alone (P @ scale_mat composition)."""
+    v1, _f1 = cube_mesh([0, 0, 0], 0.25)
+    masks, wms = _scene()
+
+    # world = scale * object + center  (reference gen_cameras.py:65-73)
+    s, center = 2.5, np.array([6.0, -3.0, 1.5])
+    scale_mat = np.eye(4)
+    scale_mat[:3, :3] *= s
+    scale_mat[:3, 3] = center
+    # cameras built for the WORLD-frame cube at `center` with half-size .25*s
+    wms_world = []
+    masks_world = []
+    H = W = 64
+    for i in range(len(wms)):
+        th = 2 * np.pi * i / len(wms)
+        eye = center + 3.0 * s * np.array([np.cos(th), np.sin(th), 0.3])
+        wm = look_at_world_mat(eye - center, H, W, focal=1.2 * W)
+        # look_at_world_mat targets the origin; shift to target `center`
+        T = np.eye(4)
+        T[:3, 3] = -center
+        wm = wm @ T
+        wms_world.append(wm)
+        pts = center + np.random.default_rng(i).uniform(
+            -0.3 * s, 0.3 * s, (4000, 3)
+        )
+        ph = np.concatenate([pts, np.ones((len(pts), 1))], axis=1) @ wm.T
+        px = (ph[:, 0] / ph[:, 2]).astype(int)
+        py = (ph[:, 1] / ph[:, 2]).astype(int)
+        m = np.zeros((H, W), np.uint8)
+        ok = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        m[py[ok], px[ok]] = 1
+        import cv2 as cv
+
+        masks_world.append(cv.dilate(m, np.ones((3, 3), np.uint8)))
+    wms_world = np.stack(wms_world)
+    masks_world = np.stack(masks_world)
+    scale_mats = np.tile(scale_mat[None], (len(wms_world), 1, 1))
+
+    # object-frame verts + scale_mats: inside the hull
+    mem = hull_membership(v1, masks_world, wms_world, dilate=4,
+                          scale_mats=scale_mats)
+    assert mem.min() > 0.9
+    # without the composition the object-frame verts are in the WRONG frame
+    mem_wrong = hull_membership(v1, masks_world, wms_world, dilate=4)
+    assert mem_wrong.min() < mem.min()
+
+
 def test_edge_stats_detects_open_mesh():
     v, f = cube_mesh([0, 0, 0], 1.0)
     assert edge_stats(f)["watertight"]

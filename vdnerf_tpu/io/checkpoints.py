@@ -126,26 +126,25 @@ def _convert_layered(sd: dict, n_layers: int, name: str = "lin") -> dict:
     }
 
 
-def import_torch_checkpoint(path: str, nets, extract_depth: bool) -> tuple[dict, int]:
-    """Load a reference ``ckpt_*.pth`` -> (params pytree, iter_step).
+def _convert_param_tree(sd_of, nets, extract_depth, ckpt) -> dict:
+    """Convert one full set of per-network tensor dicts to our pytree.
 
-    ``nets`` is the NeuSNetworks bundle describing layer counts.
+    ``sd_of(net_key)`` returns a mapping torch-param-name -> tensor for that
+    network; used for the weights themselves AND (with the same names and
+    shapes) for the Adam ``exp_avg`` / ``exp_avg_sq`` moment tensors, which
+    transform equivariantly under the transpose/reshape layout conversion.
     """
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
     params: dict[str, Any] = {}
-
-    sd = ckpt["sdf_network_fine"]
-    params["sdf"] = _convert_layered(sd, len(nets.sdf.dims) - 1)
-
-    sd = ckpt["color_network_fine"]
-    params["color"] = _convert_layered(sd, len(nets.color.dims) - 1)
-
-    sd = ckpt["variance_network_fine"]
-    params["variance"] = {"variance": _t2np(sd["variance"]).reshape(())}
-
-    sd = ckpt["nerf"]
+    params["sdf"] = _convert_layered(
+        sd_of("sdf_network_fine"), len(nets.sdf.dims) - 1
+    )
+    params["color"] = _convert_layered(
+        sd_of("color_network_fine"), len(nets.color.dims) - 1
+    )
+    params["variance"] = {
+        "variance": _t2np(sd_of("variance_network_fine")["variance"]).reshape(())
+    }
+    sd = sd_of("nerf")
     nerf_p: dict[str, Any] = {
         "pts_linears": [
             _convert_linear(sd, f"pts_linears.{i}") for i in range(nets.nerf.D)
@@ -155,16 +154,95 @@ def import_torch_checkpoint(path: str, nets, extract_depth: bool) -> tuple[dict,
         "alpha_linear": _convert_linear(sd, "alpha_linear"),
         "rgb_linear": _convert_linear(sd, "rgb_linear"),
     }
-    if nets.nerf.gen_depth_feats and "dpt_linear.weight" in sd:
+    if nets.nerf.gen_depth_feats and "dpt_linear.weight" in ckpt["nerf"]:
         nerf_p["dpt_linear"] = _convert_linear(sd, "dpt_linear")
     params["nerf"] = nerf_p
 
     if extract_depth and ckpt.get("depth_network_fine") is not None:
-        sd = ckpt["depth_network_fine"]
-        params["depth"] = _convert_layered(sd, len(nets.depth.dims) - 1)
+        params["depth"] = _convert_layered(
+            sd_of("depth_network_fine"), len(nets.depth.dims) - 1
+        )
+    return jax.tree_util.tree_map(jnp.asarray, params)
 
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    return params, int(ckpt.get("iter_step", 0))
+
+def _torch_param_index(ckpt, extract_depth) -> dict[tuple[str, str], int]:
+    """(net_key, param_name) -> flat torch-optimizer param index.
+
+    Replicates the reference's ``params_to_train`` ordering
+    (dpt_runner.py:116-130: nerf, sdf, variance, color[, depth]); within a
+    network, ``state_dict()`` key order equals ``parameters()`` registration
+    order (these models have no buffers), so the optimizer state's integer
+    keys enumerate exactly these names.
+    """
+    order = ["nerf", "sdf_network_fine", "variance_network_fine",
+             "color_network_fine"]
+    if extract_depth and ckpt.get("depth_network_fine") is not None:
+        order.append("depth_network_fine")
+    index: dict[tuple[str, str], int] = {}
+    i = 0
+    for net in order:
+        for name in ckpt[net].keys():
+            index[(net, name)] = i
+            i += 1
+    return index
+
+
+def import_torch_adam_moments(
+    ckpt, nets, extract_depth: bool
+) -> tuple[dict, dict, int] | None:
+    """Reference ``ckpt['optimizer']`` -> (mu, nu, count) in our layout.
+
+    The torch Adam state dict (dpt_runner.py:355,373) keys parameters by
+    their flat position in ``params_to_train``; ``exp_avg``/``exp_avg_sq``
+    map 1:1 onto optax ``scale_by_adam``'s ``mu``/``nu`` (identical EMA
+    semantics, identical bias-correction convention), converted through the
+    same [out,in]->[in,out] layout transforms as the weights. Returns None
+    when the checkpoint carries no (or incomplete) optimizer state.
+    """
+    opt_sd = ckpt.get("optimizer")
+    if not opt_sd or not opt_sd.get("state"):
+        return None
+    state = opt_sd["state"]
+    index = _torch_param_index(ckpt, extract_depth)
+    if any(i not in state for i in index.values()):
+        return None  # partially-stepped optimizer (e.g. frozen nets)
+
+    def sd_of_moment(moment: str):
+        def sd_of(net_key: str):
+            return {
+                name: state[idx][moment]
+                for (nk, name), idx in index.items()
+                if nk == net_key
+            }
+
+        return sd_of
+
+    mu = _convert_param_tree(sd_of_moment("exp_avg"), nets, extract_depth, ckpt)
+    nu = _convert_param_tree(
+        sd_of_moment("exp_avg_sq"), nets, extract_depth, ckpt
+    )
+    step = state[next(iter(state))]["step"]
+    count = int(step.item() if hasattr(step, "item") else step)
+    return mu, nu, count
+
+
+def import_torch_checkpoint(
+    path: str, nets, extract_depth: bool, with_optimizer: bool = False
+):
+    """Load a reference ``ckpt_*.pth`` -> (params pytree, iter_step).
+
+    ``nets`` is the NeuSNetworks bundle describing layer counts. With
+    ``with_optimizer=True`` returns (params, iter_step, moments) where
+    ``moments`` is :func:`import_torch_adam_moments`'s result (or None).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    params = _convert_param_tree(lambda k: ckpt[k], nets, extract_depth, ckpt)
+    step = int(ckpt.get("iter_step", 0))
+    if with_optimizer:
+        return params, step, import_torch_adam_moments(ckpt, nets, extract_depth)
+    return params, step
 
 
 def import_torch_pnf_checkpoint(path: str) -> tuple[dict, int]:

@@ -42,15 +42,27 @@ def hull_membership(
     masks: np.ndarray,
     world_mats: np.ndarray,
     dilate: int = 8,
+    scale_mats: np.ndarray | None = None,
 ) -> np.ndarray:
     """Fraction of views in which each vertex projects inside the mask.
 
-    verts: [V, 3] world/object space; masks: [n, H, W] in {0,1};
-    world_mats: [n, 4, 4] P = K @ w2c (the dataset npz convention).
-    ``dilate`` grows the masks (pixels) so boundary vertices aren't culled.
+    verts: [V, 3]; masks: [n, H, W] in {0,1}; world_mats: [n, 4, 4]
+    P = K @ w2c (the dataset npz convention, which projects WORLD-frame
+    points). ``dilate`` grows the masks (pixels) so boundary vertices
+    aren't culled.
+
+    Frame requirement: ``extract_geometry`` verts live in the NORMALIZED
+    object frame (the unit sphere the SDF is trained in). world_mat alone
+    projects world-frame points, so for real captures — where scale_mat is
+    not the identity (reference dataset.py:87-92) — pass ``scale_mats``
+    ([n, 4, 4]) and the projection used is P @ scale_mat, which maps
+    object-frame verts correctly. On synthetic scenes scale_mat is the
+    identity and the argument may be omitted.
     """
     import cv2 as cv
 
+    if scale_mats is not None:
+        world_mats = np.matmul(world_mats, scale_mats)
     n, H, W = masks.shape
     if dilate > 0:
         k = np.ones((dilate, dilate), np.uint8)
@@ -95,8 +107,14 @@ def clean_mesh(
     min_views_frac: float = 0.9,
     min_component_frac: float = 0.01,
     dilate: int = 8,
+    scale_mats: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Hull-clip the mesh, then drop small leftover islands.
+
+    ``verts`` are expected in the normalized object frame (what
+    ``extract_geometry`` returns); pass ``scale_mats`` on real captures
+    where scale_mat differs from the identity — see
+    :func:`hull_membership` for the frame contract.
 
     The spurious womsk shells grow out of the true surface (one connected
     component — measured on a 512^3 flagship extraction), so culling must
@@ -109,7 +127,9 @@ def clean_mesh(
 
     Returns (verts, tris, stats).
     """
-    member = hull_membership(verts, masks, world_mats, dilate=dilate)
+    member = hull_membership(
+        verts, masks, world_mats, dilate=dilate, scale_mats=scale_mats
+    )
     v1, t1 = _compact(verts, tris, member >= min_views_frac)
 
     stats = {

@@ -48,6 +48,20 @@ def set_fused_mlp(enable: bool) -> None:
 
 
 def use_fused_mlp() -> bool:
+    if _FUSED_MLP and _MATMUL_DTYPE is None:
+        # the fused kernels compute with bf16 MXU inputs unconditionally;
+        # surface the silent downgrade when the caller asked for full fp32
+        # (e.g. enable_bf16(False) / --fp32) so parity debugging isn't
+        # chasing phantom bf16 noise
+        import warnings
+
+        warnings.warn(
+            "fused Pallas MLP kernels are enabled while the matmul policy is "
+            "full fp32: the kernels still use bf16 MXU inputs (f32 "
+            "accumulation), so results will NOT be bit-fp32. Disable "
+            "set_fused_mlp / VDNERF_FUSED for true fp32.",
+            stacklevel=2,
+        )
     return _FUSED_MLP
 
 

@@ -1,13 +1,21 @@
 """Fused MLP Pallas kernels: whole network in VMEM, one HBM round-trip.
 
-Why: at flagship dims the train step is HBM-bandwidth-bound, not
-MXU-bound. The XLA path materializes every inter-layer activation
-([N, 256] per layer) plus the wide concat inputs in HBM; with bf16
-activations that caps the MLP chains at the ~105 TF/s bandwidth roofline
-(measured: color net 27-34 TF/s, bg NeRF 48-52 TF/s, fused SDF core 112
-TF/s — tools/profile_step.py). These kernels keep the full weight stack
-(~0.5 MB/network) and all activations in VMEM, so HBM traffic is just the
-kernel's true inputs and outputs: the ceiling moves to the MXU roofline.
+Status (round-2 floor-corrected measurements, docs/PERF_r02.md): these
+kernels are an ALTERNATIVE backend that measured 3-4x SLOWER than XLA at
+flagship dims (color 0.54 -> 1.85 ms, bg NeRF 0.98 -> 5.39 ms at batch
+512) and are OFF by default. The round-1 hypothesis that motivated them —
+that the MLP chains were HBM-bandwidth-bound — was an artifact of a
+~27 ms dispatch floor polluting per-component timings; with the floor
+subtracted, plain XLA already runs the dominant fused SDF query at the
+~160 TF/s sustained matmul roofline and a bare 8x256 relu chain at
+~150 TF/s (activations of a 65k-row chain stay cache/VMEM-resident under
+XLA's fusion on this backend), leaving no bandwidth gap for a hand-fused
+kernel to close. The in-kernel narrow embedding ops waste VPU lanes and
+Mosaic schedules the per-tile layer chain worse than XLA's global fusion.
+Kept because they are correctness-tested (tests/test_fused_mlp.py), exert
+the Pallas fwd+bwd custom-VJP machinery, and may win on backends with
+different fusion behavior: enable with ``VDNERF_FUSED=1`` /
+``precision.set_fused_mlp(True)``.
 
 Kernels (each = forward + custom-VJP backward, both Pallas):
 

@@ -76,6 +76,29 @@ except ImportError:  # pragma: no cover
 log = logging.getLogger(__name__)
 
 
+def _restore_adam_moments(opt_state, mu, nu, count: int):
+    """Graft converted torch Adam moments into an optax.adam state.
+
+    ``opt_state`` is the freshly-init'd chain state (ScaleByAdamState,
+    schedule/lr state, ...). The mu/nu pytrees mirror the params tree
+    (vdnerf_tpu/io/checkpoints.py import_torch_adam_moments); every state
+    in the chain that carries a ``count`` (ScaleByAdamState for bias
+    correction, ScaleByScheduleState for the LR schedule) gets the torch
+    step count so resumed training continues mid-schedule rather than
+    restarting warm-up.
+    """
+    count_arr = jnp.asarray(count, jnp.int32)
+    new_states = []
+    for s in opt_state:
+        fields = getattr(s, "_fields", ())
+        if "mu" in fields and "nu" in fields:
+            s = s._replace(mu=mu, nu=nu, count=count_arr)
+        elif "count" in fields:
+            s = s._replace(count=count_arr)
+        new_states.append(s)
+    return tuple(new_states)
+
+
 class Runner:
     def __init__(
         self,
@@ -193,17 +216,28 @@ class Runner:
             self.base_exp_dir, "checkpoints", f"ckpt_{iter_step:06d}.pth"
         )
         if os.path.exists(torch_path):
-            params, step = import_torch_checkpoint(
-                torch_path, self.nets, self.tcfg.extract_depth
+            params, step, moments = import_torch_checkpoint(
+                torch_path, self.nets, self.tcfg.extract_depth,
+                with_optimizer=True,
             )
             self.state["params"] = params
             self.state["step"] = jnp.asarray(step, jnp.int32)
-            log.warning(
-                "imported torch checkpoint %s: params+step only — the torch "
-                "Adam moments are NOT converted, so continued training "
-                "restarts the optimizer from zero (evaluation is unaffected)",
-                torch_path,
-            )
+            if moments is not None:
+                mu, nu, count = moments
+                self.state["opt_state"] = _restore_adam_moments(
+                    self.state["opt_state"], mu, nu, count
+                )
+                log.info(
+                    "imported torch checkpoint %s (params + Adam moments, "
+                    "count=%d): continued training resumes with a warm "
+                    "optimizer", torch_path, count,
+                )
+            else:
+                log.warning(
+                    "imported torch checkpoint %s carries no optimizer "
+                    "state: continued training restarts the optimizer from "
+                    "zero (evaluation is unaffected)", torch_path,
+                )
             self._maybe_load_torch_pnf(iter_step)
             return
         raise FileNotFoundError(path)
