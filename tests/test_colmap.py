@@ -106,3 +106,117 @@ def test_full_pipeline_roundtrip(fake_scene):
         np.testing.assert_allclose(pose[:3, :3], poses[i][:3, :3], atol=1e-4)
         expected_t = (poses[i][:3, 3] - scale[:3, 3]) / scale[0, 0]
         np.testing.assert_allclose(pose[:3, 3], expected_t, atol=1e-4)
+
+
+def test_capture_to_training_e2e(tmp_path):
+    """The capture-preparation path a real user takes, end to end through the
+    CLIs (VERDICT r2 #8: P1 -> P5 -> C1): imgs2poses CLI on a scene dir with
+    an existing sparse/0 (colmap binary skipped, reference
+    pose_utils.py:290-293 path), the user's crop step, gen_cameras CLI, then
+    an actual Runner(train) consuming the produced npz."""
+    import json
+
+    from vdnerf_tpu.colmap.gen_cameras_cli import main as gen_cameras_main
+    from vdnerf_tpu.colmap.imgs2poses import main as imgs2poses_main
+    from vdnerf_tpu.data.synthetic import make_synthetic_scene
+
+    d = str(tmp_path)
+    # a real renderable capture: analytic sphere scene, stems 000..003
+    meta = make_synthetic_scene(d, n_images=4, H=48, W=48)
+    # its true poses/focal expressed as a COLMAP sparse reconstruction,
+    # points on the radius-0.5 object sphere
+    rng = np.random.default_rng(1)
+    sph = rng.normal(size=(200, 3))
+    sph = 0.5 * sph / np.linalg.norm(sph, axis=-1, keepdims=True)
+    write_fake_colmap_model(
+        os.path.join(d, "sparse/0"),
+        [p.astype(np.float64) for p in meta["poses"]],
+        float(meta["K"][0, 0]), meta["W"], meta["H"], sph,
+    )
+
+    # P1: imgs2poses CLI (colmap run skipped — model already present)
+    imgs2poses_main([d])
+    assert os.path.exists(os.path.join(d, "poses.npy"))
+    # the manual crop step: keep the full sparse cloud
+    verts, _ = load_ply(os.path.join(d, "sparse_points.ply"))
+    save_ply(
+        os.path.join(d, "sparse_points_interest.ply"),
+        verts, np.zeros((0, 3), np.int64),
+    )
+    # P5: gen_cameras CLI
+    gen_cameras_main([d])
+    npz = os.path.join(d, "cameras_sphere_colmap.npz")
+    assert os.path.exists(npz)
+
+    # C1: train through the Runner on the produced npz
+    conf_path = os.path.join(d, "colmap_e2e.conf")
+    with open(conf_path, "w") as f:
+        f.write(f"""
+general {{
+    base_exp_dir = {os.path.join(d, "exp")}
+    recording = []
+}}
+dataset {{
+    data_dir = {d}
+    img_dir = image
+    depth_dir = 00
+    render_cameras_name = cameras_sphere_colmap.npz
+    object_cameras_name = cameras_sphere_colmap.npz
+}}
+train {{
+    learning_rate = 5e-4
+    learning_rate_alpha = 0.05
+    end_iter = 8
+    batch_size = 32
+    validate_resolution_level = 4
+    warm_up_end = 2
+    anneal_end = 4
+    use_white_bkgd = True
+    save_freq = 8
+    val_freq = 100
+    val_mesh_freq = 100
+    report_freq = 4
+    igr_weight = 0.1
+    mask_weight = 0.1
+}}
+model {{
+    nerf {{
+        D = 2, d_in = 4, d_in_view = 3, W = 32,
+        multires = 4, multires_view = 2, output_ch = 4, skips = [4],
+        rgb_dims = 3, use_viewdirs = True
+    }}
+    sdf_network {{
+        d_out = 33, d_in = 3, d_hidden = 32, n_layers = 2,
+        skip_in = [1], multires = 4, bias = 0.5, scale = 1.0,
+        geometric_init = True, weight_norm = True
+    }}
+    variance_network {{
+        init_val = 0.3
+    }}
+    rendering_network {{
+        d_feature = 32, mode = idr, d_in = 9, d_out = 3,
+        d_hidden = 32, n_layers = 2, weight_norm = True,
+        multires_view = 2, squeeze_out = True
+    }}
+    neus_renderer {{
+        n_samples = 12, n_importance = 8, n_outside = 4,
+        up_sample_steps = 4, perturb = 1.0
+    }}
+}}
+""")
+    from vdnerf_tpu.runner import Runner
+
+    runner = Runner(conf_path, mode="train")
+    # the capture's cameras survived the pipeline: poses decomposed from
+    # world_mat @ scale_mat look at the object from ~cam_dist (unit-scaled)
+    assert runner.scene_data.n_images == 4
+    runner.train()
+    assert runner.iter_step == 8
+    # checkpoint + metrics written
+    assert os.path.exists(
+        os.path.join(d, "exp", "checkpoints", "ckpt_000008.npz")
+    )
+    metrics_path = os.path.join(d, "exp", "logs", "metrics.jsonl")
+    with open(metrics_path) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    assert recs and all(np.isfinite(r["loss"]) for r in recs)

@@ -60,6 +60,55 @@ def test_backdrop_texture_view_consistent():
     assert (a >= 0).all() and (a <= 1).all()
 
 
+def test_camlight_shading_is_view_dependent():
+    """'camlight' must change a surface point's radiance with the camera
+    (the shape-radiance-ambiguity setting the VDN paper targets), while
+    'fixed' keeps it view-consistent."""
+    from vdnerf_tpu.data.synthetic import (
+        _compound_normal,
+        _sphere_trace,
+        look_at_pose,
+        render_compound_image,
+    )
+
+    H = W = 64
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 1.4 * W
+    K[0, 2] = W / 2.0
+    K[1, 2] = H / 2.0
+
+    # a visible surface point: trace the center ray from camera A
+    eye_a = 2.2 * np.array([1.0, 0.0, 0.15])
+    eye_b = 2.2 * np.array([np.cos(0.8), np.sin(0.8), 0.15])
+    c2w_a = look_at_pose(eye_a, np.zeros(3)).astype(np.float64)
+    c2w_b = look_at_pose(eye_b, np.zeros(3)).astype(np.float64)
+    d = c2w_a[:3, 2] / np.linalg.norm(c2w_a[:3, 2])
+    t, hit = _sphere_trace(eye_a[None], d[None], 1.0, 3.5)
+    assert hit[0]
+    pt = eye_a + d * t[0]
+
+    def color_at(c2w, shading):
+        # project pt into this camera and read the rendered pixel
+        w2c = np.linalg.inv(c2w)
+        pc = (w2c[:3, :3] @ pt + w2c[:3, 3])
+        uv = (K[:3, :3] @ pc)
+        px, py = int(uv[0] / uv[2]), int(uv[1] / uv[2])
+        img = render_compound_image(c2w, K, H, W, background="white",
+                                    shading=shading)
+        assert img[py, px, 3] == 255, "point not visible/object there"
+        return img[py, px, :3].astype(np.float64)
+
+    # the point must be visible from both cameras (chosen on the +x bulge)
+    fixed_diff = np.abs(
+        color_at(c2w_a, "fixed") - color_at(c2w_b, "fixed")
+    ).max()
+    cam_diff = np.abs(
+        color_at(c2w_a, "camlight") - color_at(c2w_b, "camlight")
+    ).max()
+    assert fixed_diff <= 25, fixed_diff  # pixel-grid tolerance
+    assert cam_diff > fixed_diff + 25, (fixed_diff, cam_diff)
+
+
 def test_compound_sdf_is_metric():
     """|sdf| is a lower bound on the distance to the zero set; gradient has
     unit norm away from the medial axis (spot check)."""

@@ -45,6 +45,7 @@ def trained_ckpt(tmp_path_factory):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy_e2e
 def test_selftrained_checkpoint_roundtrip(trained_ckpt):
     import jax.numpy as jnp
 
@@ -174,6 +175,7 @@ def test_selftrained_checkpoint_roundtrip(trained_ckpt):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy_e2e
 def test_torch_ckpt_resume_trains_smoothly(trained_ckpt):
     """Resume-and-continue from the self-trained torch checkpoint with the
     CONVERTED Adam moments (VERDICT r2 #7): the warm optimizer must pick up

@@ -107,6 +107,7 @@ model {{
 
 
 @pytest.mark.slow
+@pytest.mark.heavy_e2e
 def test_full_vdn_cycle(tmp_path):
     d = str(tmp_path)
     make_synthetic_scene(d, n_images=3, H=64, W=64)
@@ -174,6 +175,7 @@ def test_full_vdn_cycle(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy_e2e
 def test_vdn_cycle_densenet_leg(tmp_path):
     """Cycle steps 3-4 with the DEFAULT encoder (DenseNet-161): finetune on
     depth-from-SDF pseudo-GT, then extract the real 96-channel VDN features

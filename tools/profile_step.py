@@ -38,7 +38,15 @@ def main(argv=None):
                    help="profile the skip_bg_inside production mode (the "
                         "analytic bg-NeRF flop count is NOT adjusted — the "
                         "per-component ms are the meaningful numbers)")
-    p.add_argument("--out", type=str, default="docs/PROFILE_r02.json")
+    p.add_argument("--no-bwd", action="store_true",
+                   help="skip the backward-pass component breakdown")
+    p.add_argument("--batch-sweep", action="store_true",
+                   help="color/NeRF chain TF/s vs row count (the batch-2048 "
+                        "efficiency-cliff microbench, VERDICT r2 #5)")
+    p.add_argument("--masked-compile", action="store_true",
+                   help="time the XLA compile of the masked (n_outside=0) "
+                        "step vs the womsk one (VERDICT r2 #3)")
+    p.add_argument("--out", type=str, default="docs/PROFILE_r03.json")
     args = p.parse_args(argv)
 
     import jax
@@ -214,7 +222,6 @@ def main(argv=None):
         "intrin_inv_all": jnp.tile(jnp.eye(4)[None], (2, 1, 1)),
     }
     state = init_state(params, tcfg, cams, key)
-    step = make_train_step(nets, tcfg, scene)
     rng = np.random.default_rng(0)
     batch0 = {
         "img_idx": jnp.int32(0),
@@ -225,25 +232,156 @@ def main(argv=None):
         "feats": jnp.zeros((B, 1), jnp.float32),
     }
 
-    @jax.jit
-    def step_loop(state, batch):
-        def body(s, _):
-            s2, _m = step(s, batch)  # state chains -> distinct every iter
-            return s2, ()
-        s, _ = jax.lax.scan(body, state, None, length=max(args.iters // 2, 10))
-        return s
+    def time_step(name, step, state0, loop_len=max(args.iters // 2, 10)):
+        @jax.jit
+        def step_loop(state, batch):
+            def body(s, _):
+                s2, _m = step(s, batch)  # state chains -> distinct every iter
+                return s2, ()
+            s, _ = jax.lax.scan(body, state, None, length=loop_len)
+            return s
 
-    s = step_loop(state, batch0)
-    jax.block_until_ready(s["step"])
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        s = step_loop(s, batch0)
+        s = step_loop(state0, batch0)
         jax.block_until_ready(s["step"])
-        best = min(best, time.perf_counter() - t0)
-    step_ms = max(best - floor_s, 1e-9) / max(args.iters // 2, 10) * 1e3
-    results["full_train_step"] = step_ms
-    print(f"  {'full_train_step':<28s} {step_ms:8.3f} ms", file=sys.stderr)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            s = step_loop(s, batch0)
+            jax.block_until_ready(s["step"])
+            best = min(best, time.perf_counter() - t0)
+        ms = max(best - floor_s, 1e-9) / loop_len * 1e3
+        results[name] = ms
+        print(f"  {name:<28s} {ms:8.3f} ms", file=sys.stderr)
+        return ms
+
+    step_ms = time_step("full_train_step", make_train_step(nets, tcfg, scene),
+                        state)
+
+    import dataclasses as _dc
+
+    extra_flops: dict[str, float] = {}
+
+    if not args.no_bwd:
+        # ---- backward breakdown (VERDICT r2 #2) --------------------------
+        # Each component timed as fwd+bwd (value_and_grad wrt PARAMS, the
+        # cotangent path the real step takes); the derived bwd = fwd+bwd
+        # minus the forward-only number measured above.
+
+        def leaves_sum(tree):
+            return jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(jnp.abs(l).astype(jnp.float32)) * 1e-20,
+                tree, jnp.float32(0),
+            )
+
+        def fwdbwd(scalar_fn):
+            # returns body(x, *consts) -> x' that runs value_and_grad wrt the
+            # FIRST const (the params pytree)
+            def body(x, ps, *rest):
+                val, g = jax.value_and_grad(
+                    lambda p: scalar_fn(p, x, *rest)
+                )(ps)
+                return x * 1.000001 + 1e-20 * val + leaves_sum(g)
+            return body
+
+        # fused value+grad+feat query: backward here carries the
+        # SECOND-ORDER eikonal term (grad of a function of grad-sdf)
+        def sdf_vgf_scalar(ps, x):
+            s, g, f = sdf_value_grad_feat(nets.sdf, ps, x)
+            # touch the gradient nonlinearly, as the eikonal loss does
+            return (jnp.sum(s) + jnp.sum((jnp.linalg.norm(
+                g, axis=-1) - 1.0) ** 2) + jnp.sum(f)) * 1e-6
+        timed("sdf_vgf_fwdbwd2nd_128spp", fwdbwd(sdf_vgf_scalar), pts128,
+              consts=(params["sdf"],))
+
+        # first-order control: value+feat WITHOUT the spatial-gradient output
+        from vdnerf_tpu.models.fields import sdf_apply_split
+
+        def sdf_val_scalar(ps, x):
+            s, f = sdf_apply_split(nets.sdf, ps, x)
+            return (jnp.sum(s) + jnp.sum(f)) * 1e-6
+        timed("sdf_value_fwdbwd1st_128spp", fwdbwd(sdf_val_scalar), pts128,
+              consts=(params["sdf"],))
+
+        def color_scalar(ps, x, dirs, ft):
+            c = render_net_apply(nets.color, ps, x, dirs, dirs, ft)
+            return jnp.sum(c) * 1e-6
+        timed("color_fwdbwd_128spp", fwdbwd(color_scalar), pts128,
+              consts=(params["color"], dirs128, feat))
+
+        def nerf_scalar(ps, x):
+            dd, cc, _ = nerf_apply(
+                nets.nerf, ps, x,
+                jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                 (x.shape[0], 3)))
+            return (jnp.sum(dd) + jnp.sum(cc)) * 1e-6
+        timed("bg_nerf_fwdbwd_160spp", fwdbwd(nerf_scalar), pts160,
+              consts=(params["nerf"],))
+
+        # full loss forward-only (render + all losses, no grad, no adam)
+        from vdnerf_tpu.train.step import make_loss_fn
+
+        loss_fn = make_loss_fn(nets, tcfg, scene)
+
+        def loss_q(x, st, b):
+            l, _m = loss_fn((st["params"], st["cams"]), b, st["step"],
+                            jax.random.PRNGKey(7))
+            return x * 1.000001 + 1e-20 * l
+        timed("full_loss_fwd_only", loss_q, rays_o, iters=max(args.iters // 2, 10),
+              consts=(state, batch0))
+
+        # ablation: igr_weight=0 -> the second-order eikonal term leaves the
+        # BACKWARD graph (the forward still computes it for metrics)
+        time_step("full_step_igr0",
+                  make_train_step(nets, _dc.replace(tcfg, igr_weight=0.0),
+                                  scene), state)
+
+    if args.batch_sweep:
+        # ---- batch-scaling cliff microbench (VERDICT r2 #5) --------------
+        # the color/NeRF chains in ISOLATION at growing row counts; flagship
+        # batch 512 -> 65k color rows; 2048 -> 262k; 8192 -> 1M
+        for rows in (65536, 262144, 1048576):
+            ptsN = jax.random.normal(key, (rows, 3)) * 0.5
+            dirsN = ptsN / jnp.linalg.norm(ptsN, axis=-1, keepdims=True)
+            featN = jax.random.normal(key, (rows, nets.color.d_feature))
+            it_n = max(8, 80 * 65536 // rows)
+            timed(f"color_rows{rows}", color_q, ptsN,
+                  consts=(dirsN, featN, params["color"]), iters=it_n)
+            pts4N = jnp.concatenate(
+                [ptsN, jnp.ones((rows, 1))], axis=-1)
+            timed(f"nerf_rows{rows}", nerf_q, pts4N,
+                  consts=(params["nerf"],), iters=it_n)
+            extra_flops[f"color_rows{rows}"] = rows * mlp_flops(nets.color.dims)
+            extra_flops[f"nerf_rows{rows}"] = rows * 1.0  # patched below
+
+    if args.masked_compile:
+        # ---- masked-mode (n_outside=0) compile + steady step -------------
+        # round-2 flagship masked "2.3x slowdown" hypothesis: it is a
+        # one-time remote-compile cost, not steady-state throughput
+        masked_nets = _dc.replace(
+            nets, renderer=_dc.replace(nets.renderer, n_outside=0)
+        )
+        mcfg = TrainConfig(batch_size=B, use_mask=True, mask_weight=0.1)
+        mstate = init_state(params, mcfg, cams, key)
+        mstep = make_train_step(masked_nets, mcfg, scene)
+
+        for label, net_i, cfg_i, st_i in (
+            ("masked", masked_nets, mcfg, mstate),
+            ("womsk", nets, tcfg, state),
+        ):
+            step_i = make_train_step(net_i, cfg_i, scene)
+
+            @jax.jit
+            def one(s, b, _step=step_i):
+                s2, m = _step(s, b)
+                return s2["step"], m["loss"]
+
+            t0 = time.perf_counter()
+            lowered = one.lower(st_i, batch0)
+            compiled = lowered.compile()
+            dt = time.perf_counter() - t0
+            results[f"compile_s_{label}"] = dt
+            print(f"  compile ({label}): {dt:.1f}s", file=sys.stderr)
+        time_step("full_step_masked", mstep, mstate)
 
     # ---- analytic FLOP accounting (fwd only, per step)
     sdf_f = mlp_flops(nets.sdf.dims)
@@ -265,10 +403,35 @@ def main(argv=None):
             + B * (n_s + n_imp + n_out) * nerf_f
         ) * 3.0,  # fwd + ~2x bwd
     }
+    # fwd+bwd components: analytic flops = 3x the forward's (one fwd + the
+    # two backward matmuls per forward matmul); the fused v+g+f query's
+    # 2nd-order backward re-traverses its internal VJP, ~3x its 4-lane fwd
+    flops.update({
+        "sdf_vgf_fwdbwd2nd_128spp": n_core * sdf_f * 4 * 3.0,
+        "sdf_value_fwdbwd1st_128spp": n_core * sdf_f * 3.0,
+        "color_fwdbwd_128spp": n_core * color_f * 3.0,
+        "bg_nerf_fwdbwd_160spp": B * (n_s + n_imp + n_out) * nerf_f * 3.0,
+    })
+    for k, v in extra_flops.items():
+        flops[k] = v * nerf_f if k.startswith("nerf_rows") else v
+    # derived backward-only numbers (fwd+bwd minus the forward component)
+    derived = {}
+    pairs = {
+        "sdf_vgf_bwd_128spp": ("sdf_vgf_fwdbwd2nd_128spp",
+                               "sdf_valgradfeat_128spp"),
+        "color_bwd_128spp": ("color_fwdbwd_128spp", "color_net_128spp"),
+        "bg_nerf_bwd_160spp": ("bg_nerf_fwdbwd_160spp", "bg_nerf_160spp"),
+        "full_bwd_plus_adam": ("full_train_step", "full_loss_fwd_only"),
+        "eikonal_2nd_order_cost": ("full_train_step", "full_step_igr0"),
+    }
+    for name, (a, b) in pairs.items():
+        if a in results and b in results:
+            derived[name] = round(results[a] - results[b], 3)
     report = {"batch": B, "bf16": not args.fp32, "fused": args.fused,
               "fast_bg": args.fast_bg,
               "dispatch_floor_ms": round(floor_s * 1e3, 2),
-              "components_ms": results, "tflops_est": {}}
+              "components_ms": results, "derived_bwd_ms": derived,
+              "tflops_est": {}}
     print(f"\n{'component':<28s} {'ms':>8s} {'% step':>7s} {'TF/s':>7s}",
           file=sys.stderr)
     for name, ms in results.items():

@@ -115,15 +115,16 @@ DEPTH_BLOCK = """\
 
 
 def object_masked_psnr(runner, scene_dir, n_views=4, res_level=2):
-    """Masked PSNR over the TRUE object masks (eval_mask/, metrics-only —
-    training uses the womsk dummy white masks)."""
+    """Masked PSNR (+ mean eikonal error) over the TRUE object masks
+    (eval_mask/, metrics-only — training uses the womsk dummy white
+    masks)."""
     import cv2 as cv
     import numpy as np
 
     from vdnerf_tpu.train.validate import val_image_metrics
 
     sd = runner.scene_data
-    psnrs = []
+    psnrs, eiks = [], []
     for idx in range(0, sd.n_images, max(sd.n_images // n_views, 1)):
         out = runner.renderer.render_image(
             runner.state["params"], runner.state["cams"], idx, res_level,
@@ -140,7 +141,65 @@ def object_masked_psnr(runner, scene_dir, n_views=4, res_level=2):
         mask = (m[..., None] > 0.1).astype(np.float32)
         _l1, psnr = val_image_metrics(out["img"], gt, mask)
         psnrs.append(psnr)
-    return float(np.mean(psnrs))
+        eiks.append(out["gradient_error"])
+    return float(np.mean(psnrs)), float(np.mean(eiks))
+
+
+def geometry_qc(runner, scene_dir, resolution=512):
+    """512^3 mesh -> visual-hull clean -> Chamfer vs the analytic compound
+    surface (VERDICT r2 #1: the cycle must measure GEOMETRY, not just PSNR,
+    on both the base and the distilled leg — the paper's central claim is
+    that distillation improves it, dpt_runner.py:239-247,
+    renderer.py:245-249)."""
+    import cv2 as cv
+    import numpy as np
+
+    from vdnerf_tpu.data.synthetic import compound_sdf_jnp
+    from vdnerf_tpu.mesh import extract_geometry, mesh_chamfer
+    from vdnerf_tpu.mesh.clean import clean_mesh, edge_stats
+    from vdnerf_tpu.models.fields import sdf_value
+
+    sd = runner.scene_data
+    params = runner.state["params"]
+    nets = runner.nets
+
+    def neg_sdf(pts):
+        return -sdf_value(nets.sdf, params["sdf"], pts)[..., 0]
+
+    t0 = time.time()
+    verts, tris = extract_geometry(
+        sd.object_bbox_min, sd.object_bbox_max, resolution, 0.0, neg_sdf
+    )
+    if not len(verts):
+        return {"n_verts": 0, "chamfer": float("inf")}
+
+    eval_masks = []
+    for idx in range(sd.n_images):
+        stem = os.path.splitext(os.path.basename(sd.images_lis[idx]))[0]
+        m = cv.imread(
+            os.path.join(scene_dir, "image", "eval_mask", f"{stem}.png"), 0
+        )
+        eval_masks.append((m > 127).astype(np.uint8))
+    cverts, ctris, clean_stats = clean_mesh(
+        verts, tris, np.stack(eval_masks), np.stack(sd.world_mats_np)
+    )
+
+    v_gt, t_gt = extract_geometry(
+        sd.object_bbox_min, sd.object_bbox_max, resolution, 0.0,
+        lambda p: -compound_sdf_jnp(p),
+    )
+    if len(cverts) and len(ctris):
+        ch = mesh_chamfer(cverts, ctris, v_gt, t_gt, n_points=100_000)
+    else:
+        ch = {k: float("inf")
+              for k in ("chamfer", "accuracy", "completeness", "hausdorff")}
+    return {
+        "mesh_res": resolution,
+        "n_verts": int(len(verts)), "n_tris": int(len(tris)),
+        "clean": {**clean_stats, **edge_stats(ctris)},
+        **{k: round(float(v), 6) for k, v in ch.items()},
+        "wall_s": round(time.time() - t0, 1),
+    }
 
 
 def main(argv=None):
@@ -156,6 +215,16 @@ def main(argv=None):
     p.add_argument("--wavelet-epochs", type=int, default=6)
     p.add_argument("--wavelet-bs", type=int, default=2)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--shading", choices=["fixed", "camlight"],
+                   default="fixed",
+                   help="'camlight' = light co-located with the camera + "
+                        "specular (the dynamic-lighting shape-radiance-"
+                        "ambiguity setting the VDN paper targets)")
+    p.add_argument("--mesh-res", type=int, default=512,
+                   help="geometry-QC grid resolution for both legs")
+    p.add_argument("--depth-weight-scale", type=float, default=1.0,
+                   help="scale on the ramped distillation loss (1.0 = the "
+                        "reference's schedule)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -184,7 +253,8 @@ def main(argv=None):
 
     t0 = time.time()
     make_compound_scene(scene_dir, n_images=args.views, H=args.img_res,
-                        W=args.img_res, background="textured")
+                        W=args.img_res, background="textured",
+                        shading=args.shading)
     # the wavelet NeusDataset reads OBJECT masks from <case>/mask/ (3-ch
     # PNGs, reference data.py:332 — real captures ship them there even for
     # womsk runs; background pixels get the depth-200 rule). The compound
@@ -209,6 +279,7 @@ def main(argv=None):
             extra = (f"    extract_depth = True\n"
                      f"    depth_start_iter = {args.iters // 10}\n"
                      f"    depth_before_color = False\n"
+                     f"    depth_loss_scale = {args.depth_weight_scale}\n"
                      f"    rgb_dims = 3")
         with open(path, "w") as f:
             f.write(BASE_CONF.format(
@@ -233,10 +304,13 @@ def main(argv=None):
     report["stages"]["train_base_s"] = round(time.time() - t1, 1)
     runner = Runner(base_conf, mode="eval")
     runner.load_checkpoint_iter(args.iters)  # the exact leg, not "latest"
-    base_psnr = object_masked_psnr(runner, scene_dir)
+    base_psnr, base_eik = object_masked_psnr(runner, scene_dir)
     report["base_object_masked_psnr_res2"] = round(base_psnr, 3)
+    report["base_eikonal"] = round(base_eik, 5)
+    report["base_geometry"] = geometry_qc(runner, scene_dir, args.mesh_res)
     print(f"[cycle] base train {report['stages']['train_base_s']}s, "
-          f"object-masked PSNR {base_psnr:.2f} dB", flush=True)
+          f"object-masked PSNR {base_psnr:.2f} dB, eikonal {base_eik:.4f}, "
+          f"Chamfer {report['base_geometry']['chamfer']}", flush=True)
     del runner
 
     # -- 2. depth-from-SDF export (CLI) ----------------------------------
@@ -308,8 +382,13 @@ def main(argv=None):
     report["stages"]["train_wdepth_s"] = round(time.time() - t5, 1)
     runner = Runner(wdepth_conf, mode="eval")
     runner.load_checkpoint_iter(args.iters)
-    wdepth_psnr = object_masked_psnr(runner, scene_dir)
+    wdepth_psnr, wdepth_eik = object_masked_psnr(runner, scene_dir)
     report["wdepth_object_masked_psnr_res2"] = round(wdepth_psnr, 3)
+    report["wdepth_eikonal"] = round(wdepth_eik, 5)
+    report["wdepth_geometry"] = geometry_qc(runner, scene_dir, args.mesh_res)
+    print(f"[cycle] wdepth eikonal {wdepth_eik:.4f}, "
+          f"Chamfer {report['wdepth_geometry']['chamfer']} "
+          f"(base {report['base_geometry']['chamfer']})", flush=True)
 
     with open(os.path.join(args.out, "exp_wdepth", "logs",
                            "metrics.jsonl")) as f:
@@ -333,6 +412,10 @@ def main(argv=None):
     print(json.dumps({
         "base_psnr": report["base_object_masked_psnr_res2"],
         "wdepth_psnr": report["wdepth_object_masked_psnr_res2"],
+        "base_chamfer": report["base_geometry"]["chamfer"],
+        "wdepth_chamfer": report["wdepth_geometry"]["chamfer"],
+        "base_eikonal": report["base_eikonal"],
+        "wdepth_eikonal": report["wdepth_eikonal"],
         "depth_loss_drop": [report["distillation"]["depth_loss_first"],
                             report["distillation"]["depth_loss_last"]],
         "total_wall_s": report["total_wall_s"],

@@ -245,6 +245,7 @@ def render_compound_image(
     W: int,
     background: str = "white",
     bg_radius: float = 4.0,
+    shading: str = "fixed",
 ) -> np.ndarray:
     """Analytic RGBA render (uint8) of the shaded compound object.
 
@@ -254,6 +255,16 @@ def render_compound_image(
     real-capture-like setting the reference's womsk confs target (textured
     surroundings the background NeRF can model). The alpha channel is the
     object mask in both cases.
+
+    shading='fixed': lambertian from a fixed world light — radiance is a
+    function of the surface point alone (multi-view consistent).
+    shading='camlight': a light CO-LOCATED with the camera plus a strong
+    Blinn-Phong specular lobe — the dynamic-lighting/view-dependent setting
+    the VDN paper targets (arXiv 2303.17968: headlamp-style capture causes
+    shape-radiance ambiguity that view-dependence normalization resolves;
+    reference dpt_runner.py:239-247 is the distillation loss that fixes
+    it). With a co-located light, diffuse = n.v and specular = (n.v)^k, so
+    the same surface point changes brightness with every camera.
     """
     xs, ys = np.meshgrid(np.arange(W), np.arange(H))
     p = np.stack([xs, ys, np.ones_like(xs)], axis=-1).astype(np.float64)
@@ -267,12 +278,19 @@ def render_compound_image(
     t, hit = _sphere_trace(o, d, cam_dist - 1.0, cam_dist + 1.0)
     pts = o + d * t[..., None]
     normal = _compound_normal(pts)
-    # normal-colored albedo with lambertian shading from a fixed light:
-    # gives real texture + shading variation across views
-    light = np.array([0.577, 0.577, 0.577])
-    albedo = 0.5 + 0.5 * normal
-    diffuse = (0.35 + 0.65 * np.maximum(normal @ light, 0.0))[..., None]
-    color = (albedo * diffuse).clip(0, 1)
+    albedo = 0.5 + 0.5 * normal  # normal-colored: real texture everywhere
+    if shading == "camlight":
+        # view direction from surface point back to the camera == light dir
+        v = o - pts
+        v /= np.linalg.norm(v, axis=-1, keepdims=True) + 1e-12
+        ndv = np.maximum(np.sum(normal * v, axis=-1), 0.0)[..., None]
+        spec = (ndv**40)
+        color = (albedo * (0.25 + 0.55 * ndv) + 0.55 * spec).clip(0, 1)
+    else:
+        # lambertian from a fixed world light
+        light = np.array([0.577, 0.577, 0.577])
+        diffuse = (0.35 + 0.65 * np.maximum(normal @ light, 0.0))[..., None]
+        color = (albedo * diffuse).clip(0, 1)
     rgba = np.zeros((H, W, 4), dtype=np.uint8)
     rgba[..., :3] = (color * 255).astype(np.uint8)
     if background == "textured":
@@ -299,6 +317,7 @@ def make_compound_scene(
     focal: float | None = None,
     img_dir: str = "image",
     background: str = "white",
+    shading: str = "fixed",
 ) -> dict:
     """Write a nontrivial analytic scene in the reference's on-disk layout.
 
@@ -340,7 +359,9 @@ def make_compound_scene(
         )
         c2w = look_at_pose(eye, np.zeros(3))
         poses.append(c2w)
-        rgba = render_compound_image(c2w, K, H, W, background=background)
+        rgba = render_compound_image(
+            c2w, K, H, W, background=background, shading=shading
+        )
         stem = f"{i:03d}"
         if textured:
             cv.imwrite(os.path.join(img_path, f"{stem}.png"), rgba[..., :3])

@@ -44,6 +44,10 @@ class TrainConfig:
     depth_before_color: bool = False
     rgb_dims: int = 3
     depth_ramp_iters: int = 5_000  # sigmoid ramp span (dpt_runner.py:167-171)
+    # opt-in multiplier on the ramped distillation loss (1.0 = the
+    # reference's schedule, which ramps to a full 1.0x L1 over 96 channels;
+    # a deliberate divergence knob for geometry-preserving sweeps)
+    depth_loss_scale: float = 1.0
     # learned cameras (learn confs)
     learnable: bool = False
     focal_lr: float = 0.0
@@ -87,6 +91,7 @@ class TrainConfig:
                 depth_before_color=t.get_bool("depth_before_color", default=False),
                 depth_start_iter=t.get_int("depth_start_iter"),
                 depth_weight=t.get_float("depth_weight", default=0.0),
+                depth_loss_scale=t.get_float("depth_loss_scale", default=1.0),
             )
         if learnable:
             kw.update(

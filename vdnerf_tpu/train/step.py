@@ -169,7 +169,7 @@ def make_loss_fn(
             gate = (step > tcfg.depth_start_iter).astype(jnp.float32)
             depth_iter = jnp.maximum(step - tcfg.depth_start_iter - 1, 0)
             ramp = depth_ramp_weight(depth_iter, tcfg.depth_ramp_iters)
-            loss = loss + gate * ramp * depth_fine_loss
+            loss = loss + gate * ramp * tcfg.depth_loss_scale * depth_fine_loss
             metrics["loss"] = loss
             metrics["depth_loss"] = depth_fine_loss
             metrics["psnr_dfeat"] = psnr_dfeat
