@@ -67,6 +67,11 @@ def main(argv=None):
     p.add_argument("--learn-frozen", action="store_true",
                    help="control for --learn: same noisy poses, frozen "
                         "(no refinement) — isolates the refinement benefit")
+    p.add_argument("--shading", choices=["fixed", "camlight"],
+                   default="fixed",
+                   help="'camlight' = light co-located with the camera + "
+                        "specular: the view-dependent-radiance setting "
+                        "(shape-radiance ambiguity) the VDN paper targets")
     p.add_argument("--feat-max-freq", type=float, default=5.0,
                    help="wdepth teacher-feature top frequency (rad per depth "
                         "unit); ~5 matches the smoothness of real wavelet-"
@@ -117,10 +122,11 @@ def main(argv=None):
     make_compound_scene(
         args.out, n_images=args.views, H=args.img_res, W=args.img_res,
         background="textured" if womsk else "white",
+        shading=args.shading,
     )
     print(f"scene: {args.views} views {args.img_res}^2 "
-          f"({args.train_mode}) rendered in {time.time()-t_gen:.0f}s",
-          flush=True)
+          f"({args.train_mode}, {args.shading}) rendered in "
+          f"{time.time()-t_gen:.0f}s", flush=True)
 
     conf = Config({
         "dataset": {
@@ -480,6 +486,7 @@ def main(argv=None):
                 "flagship womsk_white dims (8x256 SDF, 64+64+32 samples)"
             ),
             "train_mode": args.train_mode,
+            "shading": args.shading,
             "learn_cameras": args.learn,
             "learn_frozen_control": args.learn_frozen,
             "bf16": not args.fp32, "fused_mlp": args.fused,

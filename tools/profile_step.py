@@ -323,7 +323,11 @@ def main(argv=None):
         loss_fn = make_loss_fn(nets, tcfg, scene)
 
         def loss_q(x, st, b):
-            l, _m = loss_fn((st["params"], st["cams"]), b, st["step"],
+            # chain the CARRY into the loss inputs — otherwise the loss is
+            # loop-invariant and XLA hoists the whole render out of the scan
+            # (measured 0.42 ms for a 3.7 ms forward before this fix)
+            b2 = dict(b, color=b["color"] + 1e-12 * x)
+            l, _m = loss_fn((st["params"], st["cams"]), b2, st["step"],
                             jax.random.PRNGKey(7))
             return x * 1.000001 + 1e-20 * l
         timed("full_loss_fwd_only", loss_q, rays_o, iters=max(args.iters // 2, 10),
