@@ -100,17 +100,17 @@ model {{
 """
 
 DEPTH_BLOCK = """\
-    depth_extract_network {
+    depth_extract_network {{
         d_feature = 256
         mode = idr
         d_in = 9
-        d_out = 96
+        d_out = {dpt_dim}
         d_hidden = 256
         n_layers = 4
         weight_norm = True
         multires_view = 4
         squeeze_out = True
-    }
+    }}
 """
 
 
@@ -202,10 +202,123 @@ def geometry_qc(runner, scene_dir, resolution=512):
     }
 
 
+def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
+                    depth_weight_scale=1.0, dpt_dim=96):
+    """Render BASE_CONF for one training leg (shared by the full cycle and
+    the --skip-to-wdepth continuation). dpt_dim must match the wavelet
+    encoder's feature width (96 for densenet, 32 for mobilenet_light)."""
+    extra = ""
+    if wdepth:
+        extra = (f"    extract_depth = True\n"
+                 f"    depth_start_iter = {iters // 10}\n"
+                 f"    depth_before_color = False\n"
+                 f"    depth_loss_scale = {depth_weight_scale}\n"
+                 f"    rgb_dims = 3")
+    with open(path, "w") as f:
+        f.write(BASE_CONF.format(
+            exp_dir=exp_dir, data_dir=scene_dir, iters=iters,
+            batch=batch, warm_up=max(iters // 50, 100),
+            anneal=max(iters // 4, 1000),
+            val_freq=iters // 2,
+            extra_train=extra,
+            nerf_extra=(f",\n        gen_depth_feats = True, "
+                        f"dpt_dim = {dpt_dim}"
+                        if wdepth else ""),
+            depth_block=(DEPTH_BLOCK.format(dpt_dim=dpt_dim)
+                         if wdepth else ""),
+            depth_dir="wavelet_feats/0" if wdepth else "00",
+            fast_bg="True",
+        ))
+    return path
+
+
+def wdepth_leg_only(args, scene_dir, wit):
+    """--skip-to-wdepth: rerun ONLY the distilled retrain leg (stage 5)
+    against the VDN features a completed cycle already extracted into
+    --out. The motivating experiment: a 25k mask-free camlight base run
+    collapses to the unit-sphere shell (docs/FLAGSHIP_r03_womsk_camlight
+    .json) — does a 25k DISTILLED run against the 12k cycle's real wavelet
+    teacher survive? (paper's claim, reference dpt_runner.py:239-247)."""
+    import json as _json
+
+    import numpy as np
+
+    from vdnerf_tpu.cli import main as cli_main
+    from vdnerf_tpu.runner import Runner
+
+    feat_dir = os.path.join(scene_dir, "image", "wavelet_feats", "0")
+    if not os.path.isdir(feat_dir) or not os.listdir(feat_dir):
+        raise SystemExit(
+            f"--skip-to-wdepth needs VDN features at {feat_dir} from a "
+            f"completed cycle run (stages 1-4)"
+        )
+    exp_dir = os.path.join(args.out, f"exp_wdepth_{wit}")
+    if os.path.exists(exp_dir):
+        raise SystemExit(f"{exp_dir} already exists; delete it first")
+    report = {"config": vars(args), "stages": {}}
+    base_report_path = os.path.join(args.out, "vdn_cycle_report.json")
+    if os.path.exists(base_report_path):
+        with open(base_report_path) as f:
+            base = _json.load(f)
+        report["base_from"] = {
+            k: base.get(k)
+            for k in ("base_object_masked_psnr_res2", "base_eikonal",
+                      "base_geometry")
+        }
+
+    feats0 = np.load(os.path.join(feat_dir, sorted(os.listdir(feat_dir))[0]))
+    conf = write_conf_file(
+        os.path.join(args.out, f"wdepth_{wit}.conf"), exp_dir, scene_dir,
+        wit, args.batch, wdepth=True,
+        depth_weight_scale=args.depth_weight_scale,
+        dpt_dim=int(feats0.shape[1]),
+    )
+    t5 = time.time()
+    cli_main(["--conf", conf, "--mode", "train"])
+    report["stages"]["train_wdepth_s"] = round(time.time() - t5, 1)
+    runner = Runner(conf, mode="eval")
+    runner.load_checkpoint_iter(wit)
+    psnr, eik = object_masked_psnr(runner, scene_dir)
+    report["wdepth_object_masked_psnr_res2"] = round(psnr, 3)
+    report["wdepth_eikonal"] = round(eik, 5)
+    report["wdepth_geometry"] = geometry_qc(runner, scene_dir, args.mesh_res)
+    with open(os.path.join(exp_dir, "logs", "metrics.jsonl")) as f:
+        records = [_json.loads(line) for line in f]
+    dlosses = [r["depth_loss"] for r in records if "depth_loss" in r]
+    report["distillation"] = {
+        "depth_loss_first": round(dlosses[0], 4) if dlosses else None,
+        "depth_loss_last": round(dlosses[-1], 4) if dlosses else None,
+        "all_losses_finite": bool(
+            np.isfinite([r["loss"] for r in records]).all()
+        ),
+    }
+    out_path = os.path.join(args.out, f"vdn_cycle_report_wdepth{wit}.json")
+    with open(out_path, "w") as f:
+        _json.dump(report, f, indent=2)
+    print(_json.dumps({
+        "wdepth_iters": wit,
+        "wdepth_psnr": report["wdepth_object_masked_psnr_res2"],
+        "wdepth_eikonal": report["wdepth_eikonal"],
+        "wdepth_chamfer": report["wdepth_geometry"]["chamfer"],
+        "train_wall_s": report["stages"]["train_wdepth_s"],
+    }), flush=True)
+    return report
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=12000,
                    help="NeuS iters for BOTH training legs")
+    p.add_argument("--wdepth-iters", type=int, default=None,
+                   help="override iters for the distilled retrain leg only "
+                        "(default: --iters). With --skip-to-wdepth this "
+                        "lets a LONGER distilled run train against a "
+                        "teacher built by a shorter base leg")
+    p.add_argument("--skip-to-wdepth", action="store_true",
+                   help="reuse an existing --out dir's scene + VDN features "
+                        "(stages 1-4 of a completed cycle) and run ONLY the "
+                        "distilled retrain leg; writes exp_wdepth_<iters>/ "
+                        "and vdn_cycle_report_wdepth<iters>.json")
     p.add_argument("--out", type=str, default="/tmp/vdn_cycle")
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--views", type=int, default=24)
@@ -239,6 +352,9 @@ def main(argv=None):
 
     case = "compound"
     scene_dir = os.path.join(args.out, case)
+    wit = args.wdepth_iters or args.iters
+    if args.skip_to_wdepth:
+        return wdepth_leg_only(args, scene_dir, wit)
     # a reused out dir would silently evaluate stale artifacts (is_continue
     # picks the HIGHEST-numbered checkpoint regardless of which run wrote
     # it; old depth_from_sdf/wavelet ckpts linger) — refuse it
@@ -273,28 +389,12 @@ def main(argv=None):
     print(f"[cycle] scene: {args.views} views {args.img_res}^2 "
           f"({report['stages']['scene_gen_s']}s)", flush=True)
 
-    def write_conf(path, exp_dir, wdepth):
-        extra = ""
-        if wdepth:
-            extra = (f"    extract_depth = True\n"
-                     f"    depth_start_iter = {args.iters // 10}\n"
-                     f"    depth_before_color = False\n"
-                     f"    depth_loss_scale = {args.depth_weight_scale}\n"
-                     f"    rgb_dims = 3")
-        with open(path, "w") as f:
-            f.write(BASE_CONF.format(
-                exp_dir=exp_dir, data_dir=scene_dir, iters=args.iters,
-                batch=args.batch, warm_up=max(args.iters // 50, 100),
-                anneal=max(args.iters // 4, 1000),
-                val_freq=args.iters // 2,
-                extra_train=extra,
-                nerf_extra=(",\n        gen_depth_feats = True, dpt_dim = 96"
-                            if wdepth else ""),
-                depth_block=DEPTH_BLOCK if wdepth else "",
-                depth_dir="wavelet_feats/0" if wdepth else "00",
-                fast_bg="True",
-            ))
-        return path
+    def write_conf(path, exp_dir, wdepth, iters=None, dpt_dim=96):
+        return write_conf_file(
+            path, exp_dir, scene_dir, iters or args.iters, args.batch,
+            wdepth, depth_weight_scale=args.depth_weight_scale,
+            dpt_dim=dpt_dim,
+        )
 
     # -- 1. base NeuS training (CLI) ------------------------------------
     base_conf = write_conf(os.path.join(args.out, "base.conf"),
@@ -376,7 +476,8 @@ def main(argv=None):
     # -- 5. retrain with the distillation head on those features ----------
     wdepth_conf = write_conf(os.path.join(args.out, "wdepth.conf"),
                              os.path.join(args.out, "exp_wdepth"),
-                             wdepth=True)
+                             wdepth=True,
+                             dpt_dim=report["vdn_features"]["shape"][1])
     t5 = time.time()
     cli_main(["--conf", wdepth_conf, "--mode", "train"])
     report["stages"]["train_wdepth_s"] = round(time.time() - t5, 1)
