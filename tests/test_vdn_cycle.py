@@ -221,3 +221,35 @@ def test_vdn_cycle_densenet_leg(tmp_path):
     # (1, 96, H/2, W/2): the reference's NCHW npy layout, 96 channels
     assert arr.shape == (1, 96, 32, 32)
     assert np.isfinite(arr).all()
+
+
+def test_cycle_tool_conf_template(tmp_path):
+    """tools/vdn_cycle_run.write_conf_file: dpt_dim must flow into BOTH the
+    NeRF dpt head and the depth_extract_network (a 32-ch mobilenet teacher
+    needs a 32-ch head; hardcoded 96 broke that)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "vdn_cycle_run",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "tools", "vdn_cycle_run.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    from vdnerf_tpu.utils.hocon import load_conf
+
+    d = str(tmp_path)
+    for dim, wdepth in ((32, True), (96, True), (None, False)):
+        p = m.write_conf_file(
+            os.path.join(d, f"t_{dim}.conf"), os.path.join(d, "exp"), d,
+            iters=60, batch=64, wdepth=wdepth, dpt_dim=dim or 96,
+        )
+        conf = load_conf(p)
+        if wdepth:
+            assert conf.get_int("model.nerf.dpt_dim") == dim
+            assert conf.get_int("model.depth_extract_network.d_out") == dim
+            assert conf.get_bool("train.extract_depth")
+        else:
+            assert "depth_extract_network" not in conf.get("model", {})
+            assert conf.get_int("train.end_iter") == 60
