@@ -89,8 +89,6 @@ def main(argv=None):
     from vdnerf_tpu.data.dataset import SceneData
     from vdnerf_tpu.data.rays import RayStore
     from vdnerf_tpu.data.synthetic import make_compound_scene
-    from vdnerf_tpu.mesh import extract_geometry, mesh_chamfer, save_ply
-    from vdnerf_tpu.mesh.clean import clean_mesh, edge_stats
     from vdnerf_tpu.models.fields import (
         NeRFConfig,
         RenderConfig,
@@ -324,6 +322,11 @@ def main(argv=None):
             )
             last_metrics = {n: float(v) for n, v in m.items()}
         if it % args.val_every == 0 or it == args.iters:
+            # drain queued async train windows BEFORE starting the val timer,
+            # or up to val_every iters of train work get billed to val_wall
+            # and steady_rays_per_sec over-reports (the it%500 sync above
+            # only covers val_every multiples of 500)
+            jax.block_until_ready(ms["loss"])
             t_val = time.time()
             vals = [masked_psnr(v, 2) for v in val_views]
             l1 = float(np.mean([v[0] for v in vals]))
@@ -404,18 +407,6 @@ def main(argv=None):
     def neg_sdf(pts):
         return -sdf_value(nets.sdf, params_f["sdf"], pts)[..., 0]
 
-    t_mesh = time.time()
-    verts, tris = extract_geometry(
-        sd.object_bbox_min, sd.object_bbox_max, args.resolution, 0.0, neg_sdf
-    )
-    mesh_wall = time.time() - t_mesh
-    print(f"mesh: {len(verts)} verts {len(tris)} tris at "
-          f"{args.resolution}^3 in {mesh_wall:.0f}s", flush=True)
-    save_ply(os.path.join(args.out, "flagship_mesh.ply"), verts, tris)
-
-    manifold = edge_stats(tris)
-    print(f"raw mesh edges: {manifold}", flush=True)
-
     # visual-hull cleaning: mask-free training leaves spurious far-field
     # shells GROWN OUT of the true surface (unconstrained SDF); cull
     # triangles outside the multi-view hull of the object masks (the
@@ -447,34 +438,29 @@ def main(argv=None):
         ])
     else:
         world_mats = np.stack(sd.world_mats_np)
-    cverts, ctris, clean_stats = clean_mesh(
-        verts, tris, eval_masks, world_mats
-    )
-    cmanifold = edge_stats(ctris)
-    print(f"cleaned: {clean_stats}", flush=True)
-    print(f"cleaned mesh edges: {cmanifold}", flush=True)
-    save_ply(
-        os.path.join(args.out, "flagship_mesh_clean.ply"), cverts, ctris
-    )
-
     # ground truth: the analytic compound SDF (single source of truth with
-    # the scene renderer — vdnerf_tpu/data/synthetic.py) at the same res
+    # the scene renderer — vdnerf_tpu/data/synthetic.py); the extract ->
+    # clean -> Chamfer sequence is the shared vdnerf_tpu.mesh.qc helper so
+    # this tool and the VDN cycle measure geometry identically
     from vdnerf_tpu.data.synthetic import compound_sdf_jnp
+    from vdnerf_tpu.mesh.qc import geometry_qc
 
-    def neg_gt_sdf(pts):
-        return -compound_sdf_jnp(pts)
-
-    v_gt, t_gt = extract_geometry(
-        sd.object_bbox_min, sd.object_bbox_max, args.resolution, 0.0,
-        neg_gt_sdf,
+    qc = geometry_qc(
+        neg_sdf, lambda p: -compound_sdf_jnp(p),
+        sd.object_bbox_min, sd.object_bbox_max, args.resolution,
+        eval_masks, world_mats,
+        ply_prefix=os.path.join(args.out, "flagship_mesh"),
+        log=lambda m: print(m, flush=True),
     )
-    if len(cverts) and len(ctris):
-        chamfer = mesh_chamfer(cverts, ctris, v_gt, t_gt, n_points=100_000)
-    else:
-        chamfer = {"chamfer": float("inf"), "accuracy": float("inf"),
-                   "completeness": float("inf"), "hausdorff": float("inf")}
-    print("chamfer (cleaned mesh) vs analytic compound surface:",
-          {k: round(v, 5) for k, v in chamfer.items()}, flush=True)
+    cmanifold = (
+        {k: v for k, v in qc["clean"].items()
+         if k in ("n_edges", "boundary_edges", "nonmanifold_edges",
+                  "watertight")}
+        if qc["clean"] else
+        {"n_edges": 0, "boundary_edges": 0, "nonmanifold_edges": 0,
+         "watertight": False}
+    )
+    chamfer = qc["chamfer"]
 
     report = {
         "config": {
@@ -502,15 +488,9 @@ def main(argv=None):
         "final_eikonal": round(final_eik, 5),
         "final_train_metrics": last_metrics,
         "pose_refinement": pose_stats,
-        "mesh": {
-            "n_verts": int(len(verts)), "n_tris": int(len(tris)),
-            "extract_wall_s": round(mesh_wall, 1), **manifold,
-        },
-        "mesh_clean": {
-            "n_verts": int(len(cverts)), "n_tris": int(len(ctris)),
-            **clean_stats, **cmanifold,
-        },
-        "chamfer": {k: round(v, 6) for k, v in chamfer.items()},
+        "mesh": qc["raw"],
+        "mesh_clean": qc["clean"],
+        "chamfer": chamfer,
     }
     with open(os.path.join(args.out, "flagship_report.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -140,6 +140,7 @@ def main(argv=None):
         return ms
 
     results: dict[str, float] = {}
+    compile_s: dict[str, float] = {}
 
     n_s = nets.renderer.n_samples            # 64
     n_imp = nets.renderer.n_importance       # 64
@@ -368,12 +369,10 @@ def main(argv=None):
         mstate = init_state(params, mcfg, cams, key)
         mstep = make_train_step(masked_nets, mcfg, scene)
 
-        for label, net_i, cfg_i, st_i in (
-            ("masked", masked_nets, mcfg, mstate),
-            ("womsk", nets, tcfg, state),
+        for label, step_i, st_i in (
+            ("masked", mstep, mstate),
+            ("womsk", make_train_step(nets, tcfg, scene), state),
         ):
-            step_i = make_train_step(net_i, cfg_i, scene)
-
             @jax.jit
             def one(s, b, _step=step_i):
                 s2, m = _step(s, b)
@@ -383,7 +382,9 @@ def main(argv=None):
             lowered = one.lower(st_i, batch0)
             compiled = lowered.compile()
             dt = time.perf_counter() - t0
-            results[f"compile_s_{label}"] = dt
+            # seconds, NOT ms — keep out of components_ms (whose every other
+            # entry is ms and feeds the %step/TF/s table)
+            compile_s[label] = round(dt, 1)
             print(f"  compile ({label}): {dt:.1f}s", file=sys.stderr)
         time_step("full_step_masked", mstep, mstate)
 
@@ -436,6 +437,8 @@ def main(argv=None):
               "dispatch_floor_ms": round(floor_s * 1e3, 2),
               "components_ms": results, "derived_bwd_ms": derived,
               "tflops_est": {}}
+    if compile_s:
+        report["compile_s"] = compile_s
     print(f"\n{'component':<28s} {'ms':>8s} {'% step':>7s} {'TF/s':>7s}",
           file=sys.stderr)
     for name, ms in results.items():

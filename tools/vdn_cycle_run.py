@@ -150,13 +150,14 @@ def geometry_qc(runner, scene_dir, resolution=512):
     surface (VERDICT r2 #1: the cycle must measure GEOMETRY, not just PSNR,
     on both the base and the distilled leg — the paper's central claim is
     that distillation improves it, dpt_runner.py:239-247,
-    renderer.py:245-249)."""
+    renderer.py:245-249). Thin adapter over the shared
+    vdnerf_tpu.mesh.qc.geometry_qc so the cycle and flagship tools measure
+    geometry identically."""
     import cv2 as cv
     import numpy as np
 
     from vdnerf_tpu.data.synthetic import compound_sdf_jnp
-    from vdnerf_tpu.mesh import extract_geometry, mesh_chamfer
-    from vdnerf_tpu.mesh.clean import clean_mesh, edge_stats
+    from vdnerf_tpu.mesh.qc import geometry_qc as run_qc
     from vdnerf_tpu.models.fields import sdf_value
 
     sd = runner.scene_data
@@ -166,13 +167,6 @@ def geometry_qc(runner, scene_dir, resolution=512):
     def neg_sdf(pts):
         return -sdf_value(nets.sdf, params["sdf"], pts)[..., 0]
 
-    t0 = time.time()
-    verts, tris = extract_geometry(
-        sd.object_bbox_min, sd.object_bbox_max, resolution, 0.0, neg_sdf
-    )
-    if not len(verts):
-        return {"n_verts": 0, "chamfer": float("inf")}
-
     eval_masks = []
     for idx in range(sd.n_images):
         stem = os.path.splitext(os.path.basename(sd.images_lis[idx]))[0]
@@ -180,25 +174,19 @@ def geometry_qc(runner, scene_dir, resolution=512):
             os.path.join(scene_dir, "image", "eval_mask", f"{stem}.png"), 0
         )
         eval_masks.append((m > 127).astype(np.uint8))
-    cverts, ctris, clean_stats = clean_mesh(
-        verts, tris, np.stack(eval_masks), np.stack(sd.world_mats_np)
+    qc = run_qc(
+        neg_sdf, lambda p: -compound_sdf_jnp(p),
+        sd.object_bbox_min, sd.object_bbox_max, resolution,
+        np.stack(eval_masks), np.stack(sd.world_mats_np),
     )
-
-    v_gt, t_gt = extract_geometry(
-        sd.object_bbox_min, sd.object_bbox_max, resolution, 0.0,
-        lambda p: -compound_sdf_jnp(p),
-    )
-    if len(cverts) and len(ctris):
-        ch = mesh_chamfer(cverts, ctris, v_gt, t_gt, n_points=100_000)
-    else:
-        ch = {k: float("inf")
-              for k in ("chamfer", "accuracy", "completeness", "hausdorff")}
+    if not qc["raw"]["n_verts"]:
+        return {"n_verts": 0, "chamfer": None}
     return {
         "mesh_res": resolution,
-        "n_verts": int(len(verts)), "n_tris": int(len(tris)),
-        "clean": {**clean_stats, **edge_stats(ctris)},
-        **{k: round(float(v), 6) for k, v in ch.items()},
-        "wall_s": round(time.time() - t0, 1),
+        "n_verts": qc["raw"]["n_verts"], "n_tris": qc["raw"]["n_tris"],
+        "clean": qc["clean"],
+        **qc["chamfer"],
+        "wall_s": qc["wall_s"],
     }
 
 
@@ -474,15 +462,16 @@ def main(argv=None):
           f"({report['stages']['predict_s']}s)", flush=True)
 
     # -- 5. retrain with the distillation head on those features ----------
+    # honor --wdepth-iters here too, not only under --skip-to-wdepth
     wdepth_conf = write_conf(os.path.join(args.out, "wdepth.conf"),
                              os.path.join(args.out, "exp_wdepth"),
-                             wdepth=True,
+                             wdepth=True, iters=wit,
                              dpt_dim=report["vdn_features"]["shape"][1])
     t5 = time.time()
     cli_main(["--conf", wdepth_conf, "--mode", "train"])
     report["stages"]["train_wdepth_s"] = round(time.time() - t5, 1)
     runner = Runner(wdepth_conf, mode="eval")
-    runner.load_checkpoint_iter(args.iters)
+    runner.load_checkpoint_iter(wit)
     wdepth_psnr, wdepth_eik = object_masked_psnr(runner, scene_dir)
     report["wdepth_object_masked_psnr_res2"] = round(wdepth_psnr, 3)
     report["wdepth_eikonal"] = round(wdepth_eik, 5)

@@ -98,9 +98,21 @@ def run_torch(sd, store, feat_maps, args, eik_every):
               + list(t_depth.parameters()))
     opt = torch.optim.Adam(params, lr=5e-4)
 
+    def update_lr(it):
+        # Same cosine-to-alpha decay the jax side's neus_lr_schedule applies
+        # (reference dpt_runner.py:310-323, warm_up_end=0, alpha=0.05) — the
+        # two stacks must see identical lr trajectories or any eikonal
+        # difference could be schedule-driven.
+        alpha = 0.05
+        progress = it / args.iters
+        factor = (np.cos(np.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
+        for g in opt.param_groups:
+            g["lr"] = 5e-4 * factor
+
     rng = np.random.default_rng(0)
     eiks, depth_iter = [], 0
     for it in range(args.iters):
+        update_lr(it)
         img_idx = it % sd.n_images
         b = store.sample_pixels(img_idx, args.batch, rng)
         rays_o, rays_d = pixels_to_rays(

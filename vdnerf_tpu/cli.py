@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -39,6 +40,18 @@ def main(argv=None) -> None:
         format="[%(filename)s:%(lineno)s - %(funcName)20s() ] %(message)s",
     )
     args = build_parser().parse_args(argv)
+
+    # Honor JAX_PLATFORMS explicitly: the env var alone is ignored once a
+    # platform plugin (e.g. the axon TPU tunnel) registers first, so
+    # `JAX_PLATFORMS=cpu python -m vdnerf_tpu.cli ...` would silently run
+    # on the TPU without this (same force-override tests/conftest.py does).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backend already initialized (in-process caller set it up)
 
     from vdnerf_tpu.runner import Runner
 

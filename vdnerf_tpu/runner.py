@@ -24,6 +24,7 @@ from __future__ import annotations
 import logging
 import math
 import os
+import signal
 
 import jax
 import jax.numpy as jnp
@@ -302,6 +303,23 @@ class Runner:
             ))
             place = lambda b: b  # noqa: E731
 
+        # Preemption-safe training (SURVEY §5: the reference has none — its
+        # only recovery is manual --is_continue after a crash). TPU jobs get
+        # preempted with a SIGTERM grace window; request a checkpoint-and-
+        # clean-exit at the next dispatch-window boundary. Resume-from-latest
+        # picks the saved iteration up (unaligned iterations are handled by
+        # the steps_per_call gcd clipping above).
+        self._preempt_signal: int | None = None
+
+        def _request_preempt(signum, _frame):
+            self._preempt_signal = signum
+
+        prev_sigterm = None
+        try:
+            prev_sigterm = signal.signal(signal.SIGTERM, _request_preempt)
+        except ValueError:
+            pass  # not the main thread (e.g. test harness): no hook
+
         image_perm = self.rng.permutation(self.scene_data.n_images)
         perm_pos = 0
         throughput = Throughput(self.tcfg.batch_size)
@@ -366,6 +384,19 @@ class Runner:
                             float(metrics["psnr"]), rays_ps,
                         )
             step = host_step
+            if self._preempt_signal is not None:
+                # checkpoint BEFORE the periodic validations: the grace
+                # window after SIGTERM is short, renders can take minutes
+                self.save_checkpoint()
+                writer.flush()
+                log.warning(
+                    "preemption signal %d: checkpoint saved at iter %d; "
+                    "rerun with --is_continue to resume",
+                    self._preempt_signal, step,
+                )
+                if prev_sigterm is not None:
+                    signal.signal(signal.SIGTERM, prev_sigterm)
+                return
             if step % self.tcfg.save_freq == 0:
                 self.save_checkpoint()
             if step % self.tcfg.val_freq == 0:
@@ -378,6 +409,8 @@ class Runner:
                     res = 256
                 self.validate_mesh(world_space=world, resolution=res)
 
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
         writer.flush()
         self.val_all_imgs(resolution_level=2, both_mask=True)
 
