@@ -250,6 +250,16 @@ def test_cycle_tool_conf_template(tmp_path):
             assert conf.get_int("model.nerf.dpt_dim") == dim
             assert conf.get_int("model.depth_extract_network.d_out") == dim
             assert conf.get_bool("train.extract_depth")
+            # default onset is leg-relative (iters // 10)
+            assert conf.get_int("train.depth_start_iter") == 6
         else:
             assert "depth_extract_network" not in conf.get("model", {})
             assert conf.get_int("train.end_iter") == 60
+
+    # an absolute depth_start_iter override decouples the distillation
+    # onset from the leg length (the 25k-plateau schedule probe)
+    p = m.write_conf_file(
+        os.path.join(d, "t_abs.conf"), os.path.join(d, "exp"), d,
+        iters=60, batch=64, wdepth=True, dpt_dim=96, depth_start_iter=3,
+    )
+    assert load_conf(p).get_int("train.depth_start_iter") == 3

@@ -191,14 +191,19 @@ def geometry_qc(runner, scene_dir, resolution=512):
 
 
 def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
-                    depth_weight_scale=1.0, dpt_dim=96):
+                    depth_weight_scale=1.0, dpt_dim=96,
+                    depth_start_iter=None):
     """Render BASE_CONF for one training leg (shared by the full cycle and
     the --skip-to-wdepth continuation). dpt_dim must match the wavelet
-    encoder's feature width (96 for densenet, 32 for mobilenet_light)."""
+    encoder's feature width (96 for densenet, 32 for mobilenet_light).
+    depth_start_iter defaults to the leg-relative iters//10 (the reference
+    schedule); pass an absolute value to decouple the distillation onset
+    from the leg length (the 25k-plateau schedule probe)."""
     extra = ""
     if wdepth:
+        start = iters // 10 if depth_start_iter is None else depth_start_iter
         extra = (f"    extract_depth = True\n"
-                 f"    depth_start_iter = {iters // 10}\n"
+                 f"    depth_start_iter = {start}\n"
                  f"    depth_before_color = False\n"
                  f"    depth_loss_scale = {depth_weight_scale}\n"
                  f"    rgb_dims = 3")
@@ -240,7 +245,8 @@ def wdepth_leg_only(args, scene_dir, wit):
             f"--skip-to-wdepth needs VDN features at {feat_dir} from a "
             f"completed cycle run (stages 1-4)"
         )
-    exp_dir = os.path.join(args.out, f"exp_wdepth_{wit}")
+    tag = args.leg_tag
+    exp_dir = os.path.join(args.out, f"exp_wdepth_{wit}{tag}")
     if os.path.exists(exp_dir):
         raise SystemExit(f"{exp_dir} already exists; delete it first")
     report = {"config": vars(args), "stages": {}}
@@ -256,10 +262,11 @@ def wdepth_leg_only(args, scene_dir, wit):
 
     feats0 = np.load(os.path.join(feat_dir, sorted(os.listdir(feat_dir))[0]))
     conf = write_conf_file(
-        os.path.join(args.out, f"wdepth_{wit}.conf"), exp_dir, scene_dir,
+        os.path.join(args.out, f"wdepth_{wit}{tag}.conf"), exp_dir, scene_dir,
         wit, args.batch, wdepth=True,
         depth_weight_scale=args.depth_weight_scale,
         dpt_dim=int(feats0.shape[1]),
+        depth_start_iter=args.depth_start_iter,
     )
     t5 = time.time()
     cli_main(["--conf", conf, "--mode", "train"])
@@ -280,7 +287,9 @@ def wdepth_leg_only(args, scene_dir, wit):
             np.isfinite([r["loss"] for r in records]).all()
         ),
     }
-    out_path = os.path.join(args.out, f"vdn_cycle_report_wdepth{wit}.json")
+    out_path = os.path.join(
+        args.out, f"vdn_cycle_report_wdepth{wit}{tag}.json"
+    )
     with open(out_path, "w") as f:
         _json.dump(report, f, indent=2)
     print(_json.dumps({
@@ -326,6 +335,15 @@ def main(argv=None):
     p.add_argument("--depth-weight-scale", type=float, default=1.0,
                    help="scale on the ramped distillation loss (1.0 = the "
                         "reference's schedule)")
+    p.add_argument("--depth-start-iter", type=int, default=None,
+                   help="absolute distillation onset iter for the wdepth "
+                        "leg (default: leg_iters // 10, the reference's "
+                        "leg-relative schedule). Decouples the teacher "
+                        "engagement point from the leg length")
+    p.add_argument("--leg-tag", type=str, default="",
+                   help="suffix for the --skip-to-wdepth leg's exp dir / "
+                        "conf / report names, so schedule variants of the "
+                        "same --wdepth-iters coexist in one --out")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -382,6 +400,7 @@ def main(argv=None):
             path, exp_dir, scene_dir, iters or args.iters, args.batch,
             wdepth, depth_weight_scale=args.depth_weight_scale,
             dpt_dim=dpt_dim,
+            depth_start_iter=args.depth_start_iter if wdepth else None,
         )
 
     # -- 1. base NeuS training (CLI) ------------------------------------
