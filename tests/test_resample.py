@@ -1,0 +1,174 @@
+"""Importance-resampled render core (RendererConfig.n_render_samples).
+
+Opt-in fast path #2: the expensive with-gradient render_core runs at a
+reduced sample count drawn from the up-sample ladder's own final weight
+estimate (+ a uniform floor). These tests pin the semantics: static shapes,
+sorted z, determinism at perturb=0, a trained-geometry depth check against
+the faithful path, conf reachability, and gradient flow to every param
+group (the resampled positions themselves are stop-gradient, like the
+ladder's).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.flatten_util import ravel_pytree
+
+from tests.test_renderer import demo_rays, small_nets
+from vdnerf_tpu.ops.renderer import render
+
+
+def resampled_nets(n_render_samples=12, frac=0.25, n_outside=8):
+    nets, params = small_nets(n_outside=n_outside)
+    nets = dataclasses.replace(
+        nets,
+        renderer=dataclasses.replace(
+            nets.renderer,
+            n_render_samples=n_render_samples,
+            resample_uniform_frac=frac,
+        ),
+    )
+    return nets, params
+
+
+@pytest.fixture(scope="module")
+def det_outputs():
+    nets, params = resampled_nets()
+    o, d, near, far = demo_rays(16)
+    kwargs = dict(
+        perturb_overwrite=0, background_rgb=jnp.ones((1, 3)),
+        cos_anneal_ratio=1.0,
+    )
+    faithful = render(
+        dataclasses.replace(
+            nets, renderer=dataclasses.replace(nets.renderer, n_render_samples=0)
+        ),
+        params, o, d, near, far, **kwargs,
+    )
+    fast = render(nets, params, o, d, near, far, **kwargs)
+    fast2 = render(nets, params, o, d, near, far, **kwargs)
+    return faithful, fast, fast2
+
+
+def test_static_shapes_and_finiteness(det_outputs):
+    faithful, fast, _ = det_outputs
+    m, n_out = 12, 8
+    assert fast["weights"].shape == (16, m + n_out)
+    assert faithful["weights"].shape == (16, 32 + n_out)
+    assert fast["color_fine"].shape == faithful["color_fine"].shape
+    for k in ("color_fine", "weight_sum", "gradient_error", "s_val"):
+        assert np.isfinite(np.asarray(fast[k])).all(), k
+    assert np.asarray(fast["weight_sum"]).max() <= 1.0 + 1e-4
+
+
+def test_deterministic_and_sorted(det_outputs):
+    _, fast, fast2 = det_outputs
+    for k in ("color_fine", "weight_sum", "z_vals"):
+        np.testing.assert_array_equal(np.asarray(fast[k]), np.asarray(fast2[k]))
+
+
+def test_sorted_core_z():
+    """The resampled core's z grid must be strictly usable (sorted) even in
+    stochastic mode — render_core's dists would go negative otherwise."""
+    nets, params = resampled_nets(n_render_samples=10, n_outside=0)
+    o, d, near, far = demo_rays(8)
+    out = render(
+        nets, params, o, d, near, far, key=jax.random.PRNGKey(3),
+        cos_anneal_ratio=1.0,
+    )
+    # mid_z_vals of the core block are monotone iff the core z grid was
+    z = np.asarray(out["z_vals"])[:, :10]
+    assert (np.diff(z, axis=1) >= 0).all()
+    assert np.isfinite(np.asarray(out["color_fine"])).all()
+
+
+def test_geometry_preserved_on_sphere(det_outputs):
+    """Geometric-init SDF = radius-0.5 sphere: the resampled composite's
+    expected depth must match the faithful path within a coarse-section
+    width on rays that hit the surface."""
+    faithful, fast, _ = det_outputs
+    o, d, near, far = demo_rays(16)
+
+    def depth(out, span):
+        w = np.asarray(out["weights"])[:, :span]
+        z = np.asarray(out["z_vals"])[:, :span]
+        return (w * z).sum(1) / (w.sum(1) + 1e-9)
+
+    d_ref = depth(faithful, 32)
+    d_fast = depth(fast, 12)
+    hit = np.asarray(faithful["weight_sum"])[:, 0] > 0.5
+    assert hit.sum() >= 8  # radius-3 shell rays aimed at origin: all hit
+    # demo rays span [near, far] ~ 2 units over 16 coarse samples
+    assert np.abs(d_ref[hit] - d_fast[hit]).max() < 2.0 / 16.0
+
+
+def test_uniform_floor_keeps_far_field_coverage():
+    """With the uniform mix, stochastic resampling must keep placing some
+    samples away from the surface (the eikonal regularizer's domain)."""
+    nets, params = resampled_nets(n_render_samples=12, frac=0.25, n_outside=0)
+    o, d, near, far = demo_rays(16)
+    out = render(
+        nets, params, o, d, near, far, key=jax.random.PRNGKey(7),
+        cos_anneal_ratio=1.0,
+    )
+    z = np.asarray(out["z_vals"])[:, :12]
+    nr, fr = np.asarray(near), np.asarray(far)
+    spread = (z.max(1) - z.min(1)) / (fr - nr)[:, 0]
+    # the uniform floor must keep far-field coverage: a good fraction of rays
+    # sample most of their [near, far] interval (binomial-noise-tolerant)
+    assert (spread > 0.6).mean() >= 0.3
+    assert spread.mean() > 0.4
+
+
+def test_gradients_flow_to_all_param_groups():
+    nets, params = resampled_nets(n_render_samples=12, n_outside=8)
+    o, d, near, far = demo_rays(8)
+
+    def loss_fn(p):
+        out = render(
+            nets, p, o, d, near, far, key=jax.random.PRNGKey(11),
+            background_rgb=jnp.ones((1, 3)), cos_anneal_ratio=1.0,
+        )
+        return (
+            jnp.mean(out["color_fine"] ** 2) + 0.1 * out["gradient_error"]
+        )
+
+    grads = jax.grad(loss_fn)(params)
+    flat, _ = ravel_pytree(grads)
+    assert np.isfinite(np.asarray(flat)).all()
+    for group in ("sdf", "color", "nerf", "variance"):
+        g, _ = ravel_pytree(grads[group])
+        assert float(jnp.abs(g).max()) > 0.0, group
+
+
+def test_conf_exposes_resample_knobs():
+    from vdnerf_tpu.train.builder import build_networks
+    from vdnerf_tpu.utils.hocon import parse_string
+
+    conf = parse_string(
+        """
+        model {
+            sdf_network { d_hidden = 32, n_layers = 2 }
+            variance_network { init_val = 0.3 }
+            rendering_network { d_feature = 32, d_hidden = 32, n_layers = 2 }
+            nerf { D = 2, W = 32 }
+            neus_renderer {
+                n_samples = 8
+                n_importance = 4
+                n_outside = 4
+                up_sample_steps = 1
+                perturb = 1.0
+                n_render_samples = 6
+                resample_uniform_frac = 0.5
+            }
+        }
+        """
+    )
+    nets = build_networks(conf, extract_depth=False)
+    assert nets.renderer.n_render_samples == 6
+    assert nets.renderer.resample_uniform_frac == 0.5

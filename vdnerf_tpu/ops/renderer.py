@@ -28,7 +28,13 @@ from vdnerf_tpu.models.fields import (
     sdf_value_grad_feat,
     variance_apply,
 )
-from vdnerf_tpu.ops.sampling import merge_z_vals, transmittance, up_sample
+from vdnerf_tpu.ops.sampling import (
+    merge_z_vals,
+    sample_pdf,
+    section_weights,
+    transmittance,
+    up_sample,
+)
 
 Params = dict[str, Any]
 
@@ -53,6 +59,22 @@ class RendererConfig:
     # flagship-scale convergence report: docs/FLAGSHIP_r02_fastbg.json
     # (tools/flagship_run.py --fast-bg).
     skip_bg_inside: bool = False
+    # Opt-in fast path #2 (DIVERGES from the reference, off by default):
+    # importance-resampled render core. The up-sample ladder's SDF evals are
+    # cheap (gradient-free, ~1.5% of the step); the expensive block is the
+    # fused SDF value+grad+feat + color eval over ALL n_samples+n_importance
+    # ladder positions in render_core (~60% of the step, docs/PERF_r03.md).
+    # Most base samples sit in empty space with alpha ~= 0. When
+    # n_render_samples > 0, the final sorted ladder set is inverse-CDF
+    # resampled down to that many positions using the ladder's own
+    # section-weight estimate at the final sharpness, mixed with a uniform
+    # floor (resample_uniform_frac) that keeps (a) stochastic coverage of
+    # empty space for the eikonal regularizer and (b) a nonzero PDF
+    # everywhere so no region is unreachable. render_core then runs at the
+    # reduced width. Training draws stochastic resample positions;
+    # deterministic renders (perturb = 0) use the midpoint grid.
+    n_render_samples: int = 0
+    resample_uniform_frac: float = 0.25
 
 
 @dataclasses.dataclass(frozen=True)
@@ -371,6 +393,10 @@ def render(
     background_zvals = None
 
     # hierarchical, SDF-guided up-sampling (gradient-free)
+    resample = (
+        0 < rcfg.n_render_samples < rcfg.n_samples + rcfg.n_importance
+        and rcfg.n_importance > 0
+    )
     if rcfg.n_importance > 0:
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
         sdf = jax.lax.stop_gradient(
@@ -383,7 +409,10 @@ def render(
             new_z_vals = up_sample(
                 rays_o, rays_d, z_vals_up, sdf, per_round, 64 * 2**i
             )
-            last = i + 1 == rcfg.up_sample_steps
+            # the resampled core needs SDF values over the FULL final ladder
+            # set to build its weight estimate; otherwise the last round's
+            # SDF eval is skipped (its samples go straight to render_core)
+            last = i + 1 == rcfg.up_sample_steps and not resample
             new_sdf = None
             if not last:
                 new_pts = (
@@ -398,6 +427,39 @@ def render(
             )
         z_vals = z_vals_up
         n_samples = rcfg.n_samples + rcfg.n_importance
+
+        if resample:
+            # importance-resampled render core (see RendererConfig): shrink
+            # the expensive with-gradient sample set to n_render_samples
+            # positions drawn from a weight estimate over the full ladder
+            # set, floored by a uniform component so empty space keeps
+            # stochastic eikonal coverage and no section's PDF hits zero.
+            # The estimate runs at the LEARNED sharpness (stop-grad), not the
+            # ladder's fixed final inv_s: the sample PDF must track the
+            # actual render kernel, which is broad early in training and
+            # sharpens as the variance parameter anneals.
+            inv_s_est = jax.lax.stop_gradient(
+                jnp.clip(variance_apply(params["variance"]), 1e-6, 1e6)
+            )
+            w = section_weights(
+                rays_o, rays_d, z_vals_up, sdf, inv_s=inv_s_est
+            )
+            w_norm = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-6)
+            frac = rcfg.resample_uniform_frac
+            w_mix = (1.0 - frac) * w_norm + frac / (n_samples - 1)
+            if perturb > 0:
+                key, k3 = jax.random.split(key)
+                z_core = sample_pdf(
+                    z_vals_up, w_mix, rcfg.n_render_samples, key=k3, det=False
+                )
+            else:
+                z_core = sample_pdf(
+                    z_vals_up, w_mix, rcfg.n_render_samples, det=True
+                )
+            z_vals = jax.lax.stop_gradient(
+                jax.lax.sort(z_core, dimension=-1)
+            )
+            n_samples = rcfg.n_render_samples
 
     # background model over sorted union of inside + outside samples
     # (both are sorted per ray -> rank merge instead of a full sort)

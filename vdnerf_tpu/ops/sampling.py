@@ -107,22 +107,22 @@ def sample_pdf(
     return bins_below + t * (bins_above - bins_below)
 
 
-def up_sample(
+def section_weights(
     rays_o: jax.Array,
     rays_d: jax.Array,
     z_vals: jax.Array,
     sdf: jax.Array,
-    n_importance: int,
-    inv_s: float,
+    inv_s: float | jax.Array,
 ) -> jax.Array:
-    """One round of SDF-guided importance sampling at fixed sharpness inv_s.
+    """Per-section importance weights from SDF samples at fixed sharpness.
 
     Estimates a section alpha from the midpoint SDF linearly extrapolated by
-    the (robustified, non-positive) SDF slope, converts to transmittance
-    weights, and inverse-CDF samples ``n_importance`` new z positions.
-    Deterministic (det=True) as in the reference (renderer.py:190).
+    the (robustified, non-positive) SDF slope, then converts to
+    transmittance-weighted section weights [N, S-1] — the estimator inside
+    the reference's ``up_sample`` (renderer.py:147-188), shared here between
+    the up-sampling ladder and the importance-resampled render core.
     """
-    batch_size, n_samples = z_vals.shape
+    batch_size, _ = z_vals.shape
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
     radius = jnp.linalg.norm(pts, axis=-1)
     inside_sphere = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
@@ -146,8 +146,23 @@ def up_sample(
     next_cdf = jax.nn.sigmoid(next_esti * inv_s)
     alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
 
-    weights = alpha * transmittance(alpha)
+    return alpha * transmittance(alpha)
 
+
+def up_sample(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    z_vals: jax.Array,
+    sdf: jax.Array,
+    n_importance: int,
+    inv_s: float,
+) -> jax.Array:
+    """One round of SDF-guided importance sampling at fixed sharpness inv_s.
+
+    Deterministic (det=True) inverse-CDF sampling over the
+    :func:`section_weights` estimate, as in the reference (renderer.py:190).
+    """
+    weights = section_weights(rays_o, rays_d, z_vals, sdf, inv_s)
     z_samples = sample_pdf(z_vals, weights, n_importance, det=True)
     return jax.lax.stop_gradient(z_samples)
 

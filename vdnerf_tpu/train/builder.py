@@ -70,7 +70,8 @@ def build_networks(conf: Config, extract_depth: bool) -> NeuSNetworks:
         **_kwargs(
             conf["model.neus_renderer"],
             {"n_samples", "n_importance", "n_outside", "up_sample_steps",
-             "perturb", "skip_bg_inside"},
+             "perturb", "skip_bg_inside", "n_render_samples",
+             "resample_uniform_frac"},
         )
     )
     depth_cfg = None
