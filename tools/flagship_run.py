@@ -61,6 +61,9 @@ def main(argv=None):
                    help="use the fused Pallas MLP kernels")
     p.add_argument("--fast-bg", action="store_true",
                    help="skip_bg_inside: bg NeRF on the outside block only")
+    p.add_argument("--render-samples", type=int, default=0,
+                   help="importance-resampled render core width "
+                   "(RendererConfig.n_render_samples; 0 = faithful)")
     p.add_argument("--learn", action="store_true",
                    help="womsk_learn path: noisy initial poses + learned "
                         "pose/focal refinement")
@@ -188,7 +191,8 @@ def main(argv=None):
         sdf=SDFConfig(), color=RenderConfig(),
         nerf=NeRFConfig(gen_depth_feats=wdepth, dpt_dim=dpt_dim),
         renderer=RendererConfig(n_outside=32 if womsk else 0,
-                                skip_bg_inside=args.fast_bg),
+                                skip_bg_inside=args.fast_bg,
+                                n_render_samples=args.render_samples),
         depth=RenderConfig(d_out=dpt_dim) if wdepth else None,
     )
     tcfg = TrainConfig(
@@ -477,6 +481,7 @@ def main(argv=None):
             "learn_frozen_control": args.learn_frozen,
             "bf16": not args.fp32, "fused_mlp": args.fused,
             "fast_bg": args.fast_bg,
+            "render_samples": args.render_samples,
         },
         "train_wall_s": round(train_wall, 1),
         "startup_compile_s": round(startup_s, 1) if startup_s else None,

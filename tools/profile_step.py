@@ -38,6 +38,11 @@ def main(argv=None):
                    help="profile the skip_bg_inside production mode (the "
                         "analytic bg-NeRF flop count is NOT adjusted — the "
                         "per-component ms are the meaningful numbers)")
+    p.add_argument("--render-samples", type=int, default=0,
+                   help="importance-resampled render core width "
+                   "(RendererConfig.n_render_samples; 0 = faithful)")
+    p.add_argument("--resample-frac", type=float, default=0.25,
+                   help="uniform-floor fraction for the resampled core")
     p.add_argument("--no-bwd", action="store_true",
                    help="skip the backward-pass component breakdown")
     p.add_argument("--batch-sweep", action="store_true",
@@ -73,12 +78,17 @@ def main(argv=None):
 
     B = args.batch
     nets, params, (rays_o, rays_d, near, far) = _full_size_setup(batch=B)
-    if args.fast_bg:
+    if args.fast_bg or args.render_samples:
         import dataclasses
 
         nets = dataclasses.replace(
             nets,
-            renderer=dataclasses.replace(nets.renderer, skip_bg_inside=True),
+            renderer=dataclasses.replace(
+                nets.renderer,
+                skip_bg_inside=args.fast_bg,
+                n_render_samples=args.render_samples,
+                resample_uniform_frac=args.resample_frac,
+            ),
         )
     print(f"device: {jax.devices()[0]}, batch {B}", file=sys.stderr)
 
@@ -434,6 +444,7 @@ def main(argv=None):
             derived[name] = round(results[a] - results[b], 3)
     report = {"batch": B, "bf16": not args.fp32, "fused": args.fused,
               "fast_bg": args.fast_bg,
+              "render_samples": args.render_samples,
               "dispatch_floor_ms": round(floor_s * 1e3, 2),
               "components_ms": results, "derived_bwd_ms": derived,
               "tflops_est": {}}

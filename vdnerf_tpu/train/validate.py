@@ -66,8 +66,11 @@ class ImageRenderer:
                 cos_anneal_ratio=anneal,
                 depth_before_color=tcfg.depth_before_color,
             )
-            n_total = nets.renderer.n_samples + nets.renderer.n_importance
             inside = out["inside_sphere"]
+            # core width = n_samples+n_importance, or n_render_samples when
+            # the importance-resampled core is active — take it from the
+            # returned tensors rather than recomputing from config
+            n_total = inside.shape[1]
             normals = jnp.sum(
                 out["gradients"]
                 * out["weights"][:, :n_total, None]
