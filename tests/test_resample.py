@@ -146,6 +146,56 @@ def test_gradients_flow_to_all_param_groups():
         assert float(jnp.abs(g).max()) > 0.0, group
 
 
+def test_sharded_scan_step_composes_with_resample():
+    """The resampled core must run under the production dispatch path:
+    shard_map over the 8-device mesh x multi-step scan (per-shard stochastic
+    resample draws included), staying finite and near the single-device
+    loss."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from tests.test_scan_step import _batches
+    from vdnerf_tpu.parallel import (
+        make_mesh,
+        make_sharded_train_scan_step,
+        shard_batch,
+    )
+    from vdnerf_tpu.train import (
+        SceneStatic,
+        TrainConfig,
+        init_params,
+        init_state,
+        make_train_scan_step,
+    )
+
+    nets, _ = resampled_nets(n_render_samples=12, n_outside=4)
+    tcfg = TrainConfig(batch_size=16, end_iter=100, use_white_bkgd=True)
+    scene = SceneStatic(H=24, W=24)
+    params = init_params(jax.random.PRNGKey(0), nets, 0.3)
+    cams = {
+        "pose_all": jnp.tile(jnp.eye(4)[None], (3, 1, 1)).at[:, 2, 3].set(-2.5),
+        "intrin_inv_all": jnp.tile(jnp.eye(4)[None], (3, 1, 1)),
+    }
+    state = init_state(params, tcfg, cams, jax.random.PRNGKey(1))
+
+    k = 2
+    batches = _batches(k, tcfg.batch_size, seed=5)
+    mesh = make_mesh()
+    sharded = make_sharded_train_scan_step(nets, tcfg, scene, mesh)
+    s_sh, m_sh = sharded(state, shard_batch(batches, mesh, leading_steps=True))
+    assert int(s_sh["step"]) == k
+    assert np.isfinite(np.asarray(m_sh["loss"])).all()
+
+    scan = jax.jit(make_train_scan_step(nets, tcfg, scene))
+    _, m_single = scan(
+        state, {k_: jnp.asarray(v) for k_, v in batches.items()}
+    )
+    # per-shard RNG decorrelation moves the stochastic resample positions;
+    # the psum'd loss stays at jitter-noise level of the single-device one
+    np.testing.assert_allclose(
+        np.asarray(m_sh["loss"]), np.asarray(m_single["loss"]), rtol=0.2
+    )
+
+
 def test_conf_exposes_resample_knobs():
     from vdnerf_tpu.train.builder import build_networks
     from vdnerf_tpu.utils.hocon import parse_string
