@@ -429,6 +429,9 @@ def render(
         n_samples = rcfg.n_samples + rcfg.n_importance
 
         if resample:
+            assert rcfg.n_render_samples >= 2, (
+                "n_render_samples must be >= 2 (endpoint pinning)"
+            )
             # importance-resampled render core (see RendererConfig): shrink
             # the expensive with-gradient sample set to n_render_samples
             # positions drawn from a weight estimate over the full ladder
@@ -456,9 +459,19 @@ def render(
                 z_core = sample_pdf(
                     z_vals_up, w_mix, rcfg.n_render_samples, det=True
                 )
-            z_vals = jax.lax.stop_gradient(
-                jax.lax.sort(z_core, dimension=-1)
+            z_core = jax.lax.sort(z_core, dimension=-1)
+            # pin the core's endpoints to the ladder's first/last z (the
+            # faithful path's exact endpoints: base linspace spans
+            # [near, far]). The last-sample pin is load-bearing under
+            # skip_bg_inside: the fast bg path's boundary sample assumes the
+            # last inside z sits at `far`, so its midpoint with the first
+            # outside z lies outside the unit sphere for every ray — a
+            # stochastic draw short of `far` would break that invariant.
+            z_core = jnp.concatenate(
+                [z_vals_up[..., :1], z_core[..., 1:-1], z_vals_up[..., -1:]],
+                axis=-1,
             )
+            z_vals = jax.lax.stop_gradient(z_core)
             n_samples = rcfg.n_render_samples
 
     # background model over sorted union of inside + outside samples
