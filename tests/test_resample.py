@@ -146,6 +146,30 @@ def test_gradients_flow_to_all_param_groups():
         assert float(jnp.abs(g).max()) > 0.0, group
 
 
+def test_composes_with_skip_bg_inside():
+    """resample x skip_bg_inside: the core's endpoint pin guarantees the
+    fast-bg boundary invariant — the last core sample's midpoint (spanning
+    to the first outside z) lies outside the unit sphere for EVERY ray,
+    even under stochastic resample draws. Without the pin, a draw short of
+    `far` would leave that midpoint inside the sphere where the fast path
+    evaluates no bg."""
+    nets, params = resampled_nets(n_render_samples=12, n_outside=8)
+    nets = dataclasses.replace(
+        nets, renderer=dataclasses.replace(nets.renderer, skip_bg_inside=True)
+    )
+    o, d, near, far = demo_rays(32)
+    out = render(
+        nets, params, o, d, near, far, key=jax.random.PRNGKey(5),
+        background_rgb=jnp.ones((1, 3)), cos_anneal_ratio=1.0,
+    )
+    inside = np.asarray(out["inside_sphere"])
+    # the load-bearing invariant for skip_bg_inside's eval_tail composite
+    assert (inside[:, -1] == 0).all()
+    for k in ("color_fine", "weight_sum", "gradient_error"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    assert np.asarray(out["weight_sum"]).max() <= 1.0 + 1e-4
+
+
 def test_sharded_scan_step_composes_with_resample():
     """The resampled core must run under the production dispatch path:
     shard_map over the 8-device mesh x multi-step scan (per-shard stochastic
