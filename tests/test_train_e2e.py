@@ -81,6 +81,30 @@ def test_training_improves_psnr(scene):
     assert int(state["step"]) == 60
 
 
+def test_training_improves_psnr_resampled(scene):
+    """Production fast path #2 (importance-resampled render core) TRAINS:
+    same scene and budget as the faithful e2e above, with the with-gradient
+    core shrunk to half the ladder width (24 of 48)."""
+    meta, conf, scene_data, store = scene
+    tcfg, nets, scene_static, state = _setup(conf, scene_data)
+    nets = dataclasses.replace(
+        nets, renderer=dataclasses.replace(nets.renderer, n_render_samples=24)
+    )
+    step_fn = jax.jit(make_train_step(nets, tcfg, scene_static))
+
+    rng = np.random.default_rng(0)
+    psnrs, losses = [], []
+    for i in range(60):
+        batch = store.sample_pixels(i % store.n_images, tcfg.batch_size, rng)
+        state, metrics = step_fn(state, batch)
+        psnrs.append(float(metrics["psnr"]))
+        losses.append(float(metrics["loss"]))
+
+    assert np.isfinite(losses).all()
+    first, last = np.mean(psnrs[:10]), np.mean(psnrs[-10:])
+    assert last > first + 1.0, (first, last)
+
+
 def test_sharded_step_matches_single_chip(scene):
     meta, conf, scene_data, store = scene
     # perturb=0 so single-chip and sharded paths see identical samples
