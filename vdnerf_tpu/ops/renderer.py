@@ -207,8 +207,21 @@ def render_core(
     background_sampled_color: jax.Array | None = None,
     background_rgb: jax.Array | None = None,
     cos_anneal_ratio: float | jax.Array = 0.0,
+    est_dist_cap: float | None = None,
 ) -> dict[str, jax.Array | None]:
-    """SDF-based alpha compositing core (reference renderer.py:209-330)."""
+    """SDF-based alpha compositing core (reference renderer.py:209-330).
+
+    ``est_dist_cap`` bounds the half-width of the section-alpha estimator's
+    linear SDF extrapolation (reference renderer.py:264-268 extrapolates by
+    ``iter_cos * dists * 0.5`` with no bound). The faithful ladder never
+    needs one — its sections are uniformly fine — but the importance-
+    resampled core leaves long sections in empty space, and extrapolating a
+    small-positive SDF across half such a section drives the estimated exit
+    SDF negative: a phantom surface that absorbs the whole ray at the
+    section midpoint. Capping only the *estimator* width (integration still
+    uses the true dists) removes the phantom while leaving densely-sampled
+    surface sections, whose dists are far below any sane cap, untouched.
+    """
     batch_size, n_samples = z_vals.shape
 
     dists = z_vals[..., 1:] - z_vals[..., :-1]
@@ -252,7 +265,10 @@ def render_core(
         + jax.nn.relu(-true_cos) * cos_anneal_ratio
     )
 
-    dists_flat = dists.reshape(-1, 1)
+    est_dists = (
+        dists if est_dist_cap is None else jnp.minimum(dists, est_dist_cap)
+    )
+    dists_flat = est_dists.reshape(-1, 1)
     estimated_next_sdf = sdf + iter_cos * dists_flat * 0.5
     estimated_prev_sdf = sdf - iter_cos * dists_flat * 0.5
     prev_cdf = jax.nn.sigmoid(estimated_prev_sdf * inv_s)
@@ -504,6 +520,10 @@ def render(
         background_sampled_feat=background_sampled_feat,
         background_sampled_color=background_sampled_color,
         cos_anneal_ratio=cos_anneal_ratio,
+        # resampled core: bound the alpha estimator's extrapolation to the
+        # faithful path's own coarsest section width (sample_dist is already
+        # what the final section uses as its dist)
+        est_dist_cap=sample_dist if resample else None,
     )
 
     weights = ret_fine["weights"]

@@ -274,34 +274,60 @@ class Runner:
         # identical to K=1 (same sampling stream, same event iters) while the
         # ~3-4 ms/call host overhead is paid once per K steps.
         res_step = self.tcfg.end_iter - self.iter_step
+        # phased resample onset (tcfg.resample_from): iterations <= the
+        # boundary train on the faithful full-width core, the rest on the
+        # importance-resampled core — one program switch at a dispatch-window
+        # boundary (the gcd clipping below aligns it), costing one extra
+        # compile and nothing else. From-zero resampling collapses geometry
+        # (docs/RESAMPLE_AB_CPU.json): the early weight estimate is noise.
+        resample_boundary = 0
+        if (self.nets.renderer.n_render_samples > 0
+                and self.tcfg.resample_from > self.iter_step):
+            resample_boundary = min(self.tcfg.resample_from,
+                                    self.tcfg.end_iter)
         k = max(1, self.tcfg.steps_per_call)
         for m in (10, self.tcfg.report_freq, self.tcfg.save_freq,
                   self.tcfg.val_freq, self.tcfg.val_mesh_freq, res_step,
-                  self.iter_step):
+                  self.iter_step, resample_boundary):
             if m:  # gcd(k, 0) would keep k; iter_step=0 imposes no constraint
                 k = math.gcd(k, m)
 
-        if len(devices) > 1:
-            mesh = make_mesh(devices)
-            if k > 1:
-                step_fn = make_sharded_train_scan_step(
-                    self.nets, self.tcfg, self.scene, mesh,
+        def build_step(nets):
+            if len(devices) > 1:
+                mesh = make_mesh(devices)
+                if k > 1:
+                    fn = make_sharded_train_scan_step(
+                        nets, self.tcfg, self.scene, mesh,
+                        grad_accum=self.tcfg.grad_accum,
+                    )
+                    return fn, lambda b: shard_batch(b, mesh,
+                                                     leading_steps=True)
+                fn = make_sharded_train_step(
+                    nets, self.tcfg, self.scene, mesh,
                     grad_accum=self.tcfg.grad_accum,
                 )
-                place = lambda b: shard_batch(b, mesh, leading_steps=True)  # noqa: E731
-            else:
-                step_fn = make_sharded_train_step(
-                    self.nets, self.tcfg, self.scene, mesh,
-                    grad_accum=self.tcfg.grad_accum,
-                )
-                place = lambda b: shard_batch(b, mesh)  # noqa: E731
-        else:
+                return fn, lambda b: shard_batch(b, mesh)
             maker = make_train_scan_step if k > 1 else make_train_step
-            step_fn = jax.jit(maker(
-                self.nets, self.tcfg, self.scene,
+            fn = jax.jit(maker(
+                nets, self.tcfg, self.scene,
                 grad_accum=self.tcfg.grad_accum,
             ))
-            place = lambda b: b  # noqa: E731
+            return fn, lambda b: b
+
+        if resample_boundary:
+            import dataclasses as _dc
+
+            faithful_nets = _dc.replace(
+                self.nets,
+                renderer=_dc.replace(self.nets.renderer, n_render_samples=0),
+            )
+            step_fn, place = build_step(faithful_nets)
+            # jit traces lazily: the resample program only compiles when the
+            # boundary window actually dispatches it
+            resample_step_fn, resample_place = build_step(self.nets)
+        else:
+            step_fn, place = build_step(self.nets)
+            resample_step_fn, resample_place = step_fn, place
 
         # Preemption-safe training (SURVEY §5: the reference has none — its
         # only recovery is manual --is_continue after a crash). TPU jobs get
@@ -352,8 +378,10 @@ class Runner:
                 }
             else:
                 batch = step_batches[0]
-            self.state, metrics_k = step_fn(self.state, place(batch))
             first_step = host_step + 1
+            if first_step > resample_boundary:
+                step_fn, place = resample_step_fn, resample_place
+            self.state, metrics_k = step_fn(self.state, place(batch))
             host_step += k
             if profile_dir and host_step - k <= 15 < host_step:
                 jax.profiler.stop_trace()

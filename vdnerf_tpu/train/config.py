@@ -36,6 +36,14 @@ class TrainConfig:
     # ~13 ms step). The runner clips this to divide every report/save/val
     # cadence so observable behavior is unchanged.
     steps_per_call: int = 1
+    # onset iteration for the importance-resampled render core
+    # (neus_renderer.n_render_samples): before this iteration the runner
+    # trains on the faithful full-width core. Resampling from iteration 0
+    # collapses geometry — the early weight estimate is noise, so samples
+    # (and the eikonal regularizer's coverage) chase noise peaks in a
+    # positive-feedback loop (docs/RESAMPLE_AB_CPU.json) — while switching
+    # after the surface has formed keeps the fast core's full speedup.
+    resample_from: int = 0
     # depth distillation (wdepth confs)
     extract_depth: bool = False
     depth_start_iter: int = 0
@@ -81,6 +89,7 @@ class TrainConfig:
             use_mask=t.get_bool("use_mask", default=False),
             grad_accum=t.get_int("grad_accum", default=1),
             steps_per_call=t.get_int("steps_per_call", default=1),
+            resample_from=t.get_int("resample_from", default=0),
             extract_depth=extract_depth,
             rgb_dims=t.get_int("rgb_dims", default=3) if extract_depth else 3,
             learnable=learnable,
