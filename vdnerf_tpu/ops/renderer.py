@@ -467,9 +467,14 @@ def render(
             frac = rcfg.resample_uniform_frac
             w_mix = (1.0 - frac) * w_norm + frac / (n_samples - 1)
             if perturb > 0:
+                # stratified (shared-phase) draws, NOT iid: iid inverse-CDF
+                # positions carry ~2x-the-signal SDF-gradient noise and
+                # random-walk a formed surface into blobs (sample_pdf
+                # docstring; docs/RESAMPLE_AB_CPU.json)
                 key, k3 = jax.random.split(key)
                 z_core = sample_pdf(
-                    z_vals_up, w_mix, rcfg.n_render_samples, key=k3, det=False
+                    z_vals_up, w_mix, rcfg.n_render_samples, key=k3,
+                    stratified=True,
                 )
             else:
                 z_core = sample_pdf(

@@ -62,12 +62,21 @@ def sample_pdf(
     n_samples: int,
     key: jax.Array | None = None,
     det: bool = False,
+    stratified: bool = False,
 ) -> jax.Array:
     """Inverse-CDF sample ``n_samples`` new positions per ray.
 
     bins: [N, S] sorted positions; weights: [N, S-1] section weights.
     Deterministic mode uses the midpoint grid u in (0, 1); stochastic mode
-    draws u ~ U(0,1) from ``key``.
+    draws u ~ U(0,1) iid from ``key``; stratified mode draws one shared
+    phase per ray, u_i = (i + xi_ray) / n — the quantile grid with an
+    unbiased jitter, mirroring the faithful base ladder's single per-ray
+    t_rand (render(): one jitter shared across the ray). iid draws carry
+    ~2x-the-signal SDF-gradient noise at trained sharpness and random-walk
+    the geometry into blobs when the resampled core REPLACES the base
+    ladder (docs/RESAMPLE_AB_CPU.json); the shared-phase grid keeps the
+    deterministic quantile structure whose gradient matches the faithful
+    core to cos = 0.997.
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
@@ -78,6 +87,10 @@ def sample_pdf(
     if det:
         u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
         u = jnp.broadcast_to(u, (batch, n_samples))
+    elif stratified:
+        assert key is not None, "stratified sample_pdf needs a PRNG key"
+        xi = jax.random.uniform(key, (batch, 1))
+        u = (jnp.arange(n_samples, dtype=cdf.dtype)[None, :] + xi) / n_samples
     else:
         assert key is not None, "stochastic sample_pdf needs a PRNG key"
         u = jax.random.uniform(key, (batch, n_samples))
