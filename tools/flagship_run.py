@@ -64,6 +64,11 @@ def main(argv=None):
     p.add_argument("--render-samples", type=int, default=0,
                    help="importance-resampled render core width "
                    "(RendererConfig.n_render_samples; 0 = faithful)")
+    p.add_argument("--resample-from", type=int, default=0,
+                   help="phased onset for --render-samples (the runner's "
+                   "train.resample_from): faithful core through this "
+                   "iteration, resampled core after — one program switch "
+                   "at a scan-window boundary")
     p.add_argument("--learn", action="store_true",
                    help="womsk_learn path: noisy initial poses + learned "
                         "pose/focal refinement")
@@ -251,10 +256,20 @@ def main(argv=None):
     # 10 steps per device dispatch (the runner's steps_per_call path):
     # amortizes the ~3-4 ms/call host overhead against the ~13 ms step
     k_scan = 10
-    while args.val_every % k_scan or args.iters % k_scan:
+    while (args.val_every % k_scan or args.iters % k_scan
+           or args.resample_from % k_scan):
         k_scan //= 2  # degrade gracefully for odd CLI settings
     k_scan = max(k_scan, 1)
     scan_step = jax.jit(make_train_scan_step(nets, tcfg, scene))
+    faithful_scan_step = None
+    if args.render_samples and args.resample_from > 0:
+        import dataclasses as _dc
+
+        faithful_scan_step = jax.jit(make_train_scan_step(
+            _dc.replace(nets, renderer=_dc.replace(
+                nets.renderer, n_render_samples=0)),
+            tcfg, scene,
+        ))
     img_renderer = ImageRenderer(nets, tcfg, scene)
 
     def eval_mask_at(idx: int, res_level: int) -> np.ndarray:
@@ -303,7 +318,10 @@ def main(argv=None):
     for i0 in range(0, args.iters, k_scan):
         idxs = [(i0 + j) % sd.n_images for j in range(k_scan)]
         batches = store.sample_pixel_steps(idxs, tcfg.batch_size, rng)
-        state, ms = scan_step(state, batches)
+        fn = (faithful_scan_step
+              if faithful_scan_step is not None and i0 < args.resample_from
+              else scan_step)
+        state, ms = fn(state, batches)
         if i0 == 0:
             # first dispatch absorbs the (remote) XLA compile — time it
             # separately so rays/s reflects steady state, not startup
@@ -482,6 +500,7 @@ def main(argv=None):
             "bf16": not args.fp32, "fused_mlp": args.fused,
             "fast_bg": args.fast_bg,
             "render_samples": args.render_samples,
+            "resample_from": args.resample_from,
         },
         "train_wall_s": round(train_wall, 1),
         "startup_compile_s": round(startup_s, 1) if startup_s else None,
