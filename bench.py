@@ -30,7 +30,7 @@ TORCH_BASELINE_RAYS_PER_SEC = 3000.0
 
 def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
                 bf16: bool = True, grad_accum: int = 1,
-                fast_bg: bool = False):
+                fast_bg: bool = False, render_samples: int = 0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,16 +49,22 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
     from vdnerf_tpu.train.step import make_train_scan_step
 
     nets, params, _ = _full_size_setup(batch=batch_size, small=False)
-    if fast_bg:
-        # skip_bg_inside production mode (documented approximation,
-        # convergence-validated at flagship scale:
-        # docs/FLAGSHIP_r02_fastbg.json) — NOT the headline metric, which
-        # stays on the reference-faithful workload
+    if fast_bg or render_samples:
+        # opt-in production fast paths (documented approximations) — NOT
+        # the headline metric, which stays on the reference-faithful
+        # workload. skip_bg_inside: convergence-validated at flagship scale
+        # (docs/FLAGSHIP_r02_fastbg.json). Importance-resampled core:
+        # convergence A/Bs in docs/RESAMPLE_AB_CPU.json (production recipe
+        # phases it in via train.resample_from; this measures the
+        # post-onset program, the one that runs for the bulk of training).
         import dataclasses
 
         nets = dataclasses.replace(
             nets,
-            renderer=dataclasses.replace(nets.renderer, skip_bg_inside=True),
+            renderer=dataclasses.replace(
+                nets.renderer, skip_bg_inside=fast_bg,
+                n_render_samples=render_samples,
+            ),
         )
     tcfg = TrainConfig(batch_size=batch_size)
     H = W = 256
@@ -137,7 +143,8 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
     return rays_per_sec, best_dt / n_steps
 
 
-def bench_render(n_rays: int = 524288, chunk: int = 8192):
+def bench_render(n_rays: int = 524288, chunk: int = 8192,
+                 render_samples: int = 0):
     """Forward-only (inference/serving) throughput: the chunked image-render
     path (train/validate.py ImageRenderer) on the flagship model, bf16.
 
@@ -161,6 +168,15 @@ def bench_render(n_rays: int = 524288, chunk: int = 8192):
     from vdnerf_tpu.ops.renderer import render
 
     nets, params, _ = _full_size_setup(batch=chunk, small=False)
+    if render_samples:
+        import dataclasses
+
+        nets = dataclasses.replace(
+            nets,
+            renderer=dataclasses.replace(
+                nets.renderer, n_render_samples=render_samples
+            ),
+        )
     rng = np.random.default_rng(0)
     o = np.tile([[0.0, 0.0, 3.0]], (chunk, 1)).astype(np.float32)
     d = rng.normal(size=(chunk, 3)).astype(np.float32)
@@ -228,18 +244,25 @@ def main():
     if not results:
         raise SystemExit("bench failed for all batch sizes")
 
-    # production fast path (skip_bg_inside, convergence-validated at
-    # flagship scale) — reported alongside, never as the headline
-    fast_rps = None
-    try:
-        fast_rps, fast_step = bench_train(512, n_steps=195, fast_bg=True)
-        print(
-            f"[bench] batch=512 fast_bg: {fast_rps:,.0f} rays/s "
-            f"({fast_step*1e3:.1f} ms/step)",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] fast_bg failed: {e}", file=sys.stderr)
+    # production fast paths (convergence-validated at flagship scale) —
+    # reported alongside, never as the headline: skip_bg_inside, the
+    # importance-resampled render core (64 of 128), and both combined
+    fast_modes = {}
+    for label, kwargs in (
+        ("fast_bg", dict(fast_bg=True)),
+        ("resample", dict(render_samples=64)),
+        ("fast_bg_resample", dict(fast_bg=True, render_samples=64)),
+    ):
+        try:
+            rps, step = bench_train(512, n_steps=195, **kwargs)
+            fast_modes[label] = rps
+            print(
+                f"[bench] batch=512 {label}: {rps:,.0f} rays/s "
+                f"({step*1e3:.1f} ms/step)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {label} failed: {e}", file=sys.stderr)
 
     best_batch, (best, _) = max(results.items(), key=lambda kv: kv[1][0])
     n_chips = len(jax.devices())
@@ -253,20 +276,22 @@ def main():
         "unit": "rays/sec/chip",
         "vs_baseline": round(per_chip / TORCH_BASELINE_RAYS_PER_SEC, 2),
     }
-    if fast_rps is not None:
-        out["fast_bg_rays_per_sec"] = round(fast_rps / n_chips, 1)
-        out["fast_bg_vs_baseline"] = round(
-            fast_rps / n_chips / TORCH_BASELINE_RAYS_PER_SEC, 2
+    for label, rps in fast_modes.items():
+        out[f"{label}_rays_per_sec"] = round(rps / n_chips, 1)
+        out[f"{label}_vs_baseline"] = round(
+            rps / n_chips / TORCH_BASELINE_RAYS_PER_SEC, 2
         )
-    try:
-        # bench_render runs unsharded on one device — already a per-chip
-        # number, no division by device count
-        render_rps = bench_render()
-        print(f"[bench] render-only: {render_rps:,.0f} rays/s",
-              file=sys.stderr)
-        out["render_rays_per_sec"] = round(render_rps, 1)
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] render bench failed: {e}", file=sys.stderr)
+    for label, kwargs in (("render", {}),
+                          ("render_resample", dict(render_samples=64))):
+        try:
+            # bench_render runs unsharded on one device — already a per-chip
+            # number, no division by device count
+            render_rps = bench_render(**kwargs)
+            print(f"[bench] {label}-only: {render_rps:,.0f} rays/s",
+                  file=sys.stderr)
+            out[f"{label}_rays_per_sec"] = round(render_rps, 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {label} bench failed: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

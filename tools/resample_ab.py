@@ -98,7 +98,8 @@ model {{
         n_importance = 24
         n_outside = {n_outside}
         up_sample_steps = 4
-        perturb = 1.0{resample_block}
+        perturb = 1.0
+        skip_bg_inside = {skip_bg}{resample_block}
     }}
 }}
 """
@@ -107,6 +108,12 @@ model {{
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=2500)
+    p.add_argument("--iters-b", type=int, default=0,
+                   help="iteration budget for the resample arm only "
+                   "(default: same as --iters). Set to ~1.5-1.7x --iters "
+                   "for the iso-wall-clock comparison the fast path "
+                   "actually targets: it converts its per-step speedup "
+                   "into more steps")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--views", type=int, default=10)
     p.add_argument("--img-res", type=int, default=96)
@@ -120,6 +127,11 @@ def main(argv=None):
                    "production recipe trains the faithful core until the "
                    "surface forms, then switches programs at a dispatch-"
                    "window boundary")
+    p.add_argument("--fast-bg", action="store_true",
+                   help="skip_bg_inside=True in BOTH arms (the production "
+                   "recipe): the bg NeRF evaluates only the outside block, "
+                   "so the resampled core's concentrated inside ladder "
+                   "cannot starve it — the womsk-mode gap mechanism")
     p.add_argument("--masked", action="store_true",
                    help="NeuS wmask regime (true masks + mask BCE, "
                    "n_outside=0) instead of mask-free womsk: geometry "
@@ -167,20 +179,22 @@ def main(argv=None):
 
     report = {"config": vars(args), "arms": {}}
     for arm, m in (("faithful", 0), ("resample", args.render_samples)):
+        arm_iters = args.iters_b if m and args.iters_b else args.iters
         exp_dir = os.path.join(args.workdir, f"exp_{arm}")
         if os.path.exists(exp_dir):
             shutil.rmtree(exp_dir)  # never resume a stale arm
         conf = os.path.join(args.workdir, f"{arm}.conf")
         with open(conf, "w") as f:
             f.write(CONF.format(
-                exp_dir=exp_dir, data_dir=scene_dir, iters=args.iters,
-                batch=args.batch, warm_up=max(args.iters // 50, 100),
-                anneal=max(args.iters // 4, 500),
+                exp_dir=exp_dir, data_dir=scene_dir, iters=arm_iters,
+                batch=args.batch, warm_up=max(arm_iters // 50, 100),
+                anneal=max(arm_iters // 4, 500),
                 mask_weight=0.1 if args.masked else 0.0,
                 use_mask=args.masked,
                 n_outside=0 if args.masked else 8,
+                skip_bg=args.fast_bg and not args.masked,
                 resample_from=(
-                    int(args.iters * args.onset_frac) if m else 0
+                    int(arm_iters * args.onset_frac) if m else 0
                 ),
                 resample_block=(
                     f"\n        n_render_samples = {m}" if m else ""
@@ -190,7 +204,7 @@ def main(argv=None):
         cli_main(["--conf", conf, "--mode", "train"])
         wall = round(time.time() - t0, 1)
         runner = Runner(conf, mode="eval")
-        runner.load_checkpoint_iter(args.iters)
+        runner.load_checkpoint_iter(arm_iters)
         psnr, eik = object_masked_psnr(runner, scene_dir)
         geo = geometry_qc(runner, scene_dir, args.mesh_res)
         report["arms"][arm] = {
