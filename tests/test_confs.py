@@ -1,0 +1,82 @@
+"""Every conf shipped in confs/ must build through the real loaders.
+
+The reference treats its confs/ directory as the user-facing API surface
+(reference dpt_runner.py:567-575 loads them verbatim); ours additionally
+carries the TPU production recipes (womsk_white_tpu.conf, wmask_tpu.conf).
+These tests pin two things:
+
+1. each conf parses and builds TrainConfig + NeuSNetworks without a
+   dataset on disk (the conf->config plumbing, template substitution
+   included);
+2. the production recipes' internal consistency rules — the ones the
+   convergence A/Bs established (docs/RESAMPLE_AB_CPU.json): a reduced
+   render core must come with a phased onset, and mask-free womsk
+   training must NOT ship the resampled core by default.
+"""
+
+import glob
+import os
+
+import pytest
+
+from vdnerf_tpu.train.builder import build_networks
+from vdnerf_tpu.train.config import TrainConfig
+from vdnerf_tpu.utils.hocon import load_conf
+
+CONF_DIR = os.path.join(os.path.dirname(__file__), "..", "confs")
+ALL_CONFS = sorted(glob.glob(os.path.join(CONF_DIR, "*.conf")))
+
+
+def _load(path):
+    return load_conf(path, "testcase", "image", "womsk")
+
+
+@pytest.mark.parametrize("path", ALL_CONFS, ids=[os.path.basename(p) for p in ALL_CONFS])
+def test_conf_builds(path):
+    conf = _load(path)
+    tcfg = TrainConfig.from_conf(conf)
+    nets = build_networks(conf, tcfg.extract_depth)
+
+    # reference conf surface invariants (womsk_white.conf:47-89)
+    assert tcfg.end_iter > 0 and tcfg.batch_size > 0
+    assert nets.renderer.n_samples > 0
+    # template substitution actually happened
+    assert "CASE_NAME" not in conf.get_string("general.base_exp_dir")
+
+    # a reduced with-gradient core narrower than the ladder, never wider
+    ladder = nets.renderer.n_samples + nets.renderer.n_importance
+    if nets.renderer.n_render_samples:
+        assert 0 < nets.renderer.n_render_samples < ladder
+        # production guidance: phased onset required for training confs
+        # (from-zero resampling degrades convergence; PERF_r03.md section 4)
+        assert tcfg.resample_from > 0
+        assert tcfg.resample_from < tcfg.end_iter
+
+
+def test_wmask_tpu_recipe():
+    conf = _load(os.path.join(CONF_DIR, "wmask_tpu.conf"))
+    tcfg = TrainConfig.from_conf(conf)
+    nets = build_networks(conf, tcfg.extract_depth)
+    assert tcfg.use_mask and tcfg.mask_weight > 0
+    assert nets.renderer.n_outside == 0  # NeuS wmask: no background NeRF
+    # the regime where the resampled core is convergence-validated: ON
+    assert nets.renderer.n_render_samples == 64
+    assert tcfg.resample_from == 50000  # after the anneal
+
+
+def test_womsk_tpu_recipe():
+    conf = _load(os.path.join(CONF_DIR, "womsk_white_tpu.conf"))
+    tcfg = TrainConfig.from_conf(conf)
+    nets = build_networks(conf, tcfg.extract_depth)
+    assert not tcfg.use_mask and tcfg.mask_weight == 0
+    assert nets.renderer.skip_bg_inside  # convergence-validated fast path
+    # mask-free training measured -2.3 dB with the resampled core even
+    # under skip_bg_inside (docs/RESAMPLE_AB_CPU.json) -> OFF by default
+    assert nets.renderer.n_render_samples == 0
+    # identical model dims to the reference's womsk_white.conf
+    ref = _load(os.path.join(CONF_DIR, "womsk_white.conf"))
+    for key in ("n_samples", "n_importance", "n_outside", "up_sample_steps"):
+        assert conf["model"]["neus_renderer"][key] == \
+            ref["model"]["neus_renderer"][key]
+    assert conf["model"]["sdf_network"].to_dict() == \
+        ref["model"]["sdf_network"].to_dict()
