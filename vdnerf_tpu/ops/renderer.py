@@ -73,6 +73,13 @@ class RendererConfig:
     # everywhere so no region is unreachable. render_core then runs at the
     # reduced width. Training draws stochastic resample positions;
     # deterministic renders (perturb = 0) use the midpoint grid.
+    # Regime guidance (docs/RESAMPLE_AB_CPU.json, PERF_r03.md section 4):
+    # masked training and inference are validated at the default floor;
+    # MASK-FREE training is floor-sensitive (the concentration prunes the
+    # diffuse low-weight tails the radiance field leans on without a mask
+    # loss) - use frac >= 0.5 and a gentler width (96-of-128 @ 0.5
+    # measured -0.30 dB vs faithful; the default floor at 64-of-128
+    # measured -2.3 dB).
     n_render_samples: int = 0
     resample_uniform_frac: float = 0.25
 
