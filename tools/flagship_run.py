@@ -69,6 +69,12 @@ def main(argv=None):
                    "train.resample_from): faithful core through this "
                    "iteration, resampled core after — one program switch "
                    "at a scan-window boundary")
+    p.add_argument("--resample-frac", type=float, default=0.25,
+                   help="resample PDF's uniform floor "
+                   "(RendererConfig.resample_uniform_frac). Mask-free "
+                   "training needs >= 0.5: the default floor's "
+                   "concentration prunes the diffuse ladder tails "
+                   "(PERF_r03.md section 4 floor sweep)")
     p.add_argument("--learn", action="store_true",
                    help="womsk_learn path: noisy initial poses + learned "
                         "pose/focal refinement")
@@ -87,6 +93,15 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the env var alone is ignored once the axon plugin has registered;
+        # apply it to the config too (same contract as vdnerf_tpu/cli.py)
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:  # noqa: BLE001 - already initialized
+            pass
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -197,7 +212,8 @@ def main(argv=None):
         nerf=NeRFConfig(gen_depth_feats=wdepth, dpt_dim=dpt_dim),
         renderer=RendererConfig(n_outside=32 if womsk else 0,
                                 skip_bg_inside=args.fast_bg,
-                                n_render_samples=args.render_samples),
+                                n_render_samples=args.render_samples,
+                                resample_uniform_frac=args.resample_frac),
         depth=RenderConfig(d_out=dpt_dim) if wdepth else None,
     )
     tcfg = TrainConfig(
