@@ -517,6 +517,7 @@ def main(argv=None):
             "fast_bg": args.fast_bg,
             "render_samples": args.render_samples,
             "resample_from": args.resample_from,
+            "resample_frac": args.resample_frac,
         },
         "train_wall_s": round(train_wall, 1),
         "startup_compile_s": round(startup_s, 1) if startup_s else None,
