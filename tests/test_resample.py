@@ -125,6 +125,38 @@ def test_uniform_floor_keeps_far_field_coverage():
     assert spread.mean() > 0.4
 
 
+def test_pure_uniform_floor_skips_estimator_equivalently():
+    """frac >= 1.0 takes a static branch that skips the weight-estimate
+    forward (the PDF is constant). It must be equivalent to the mixture
+    formula in the limit: a frac = 1 - 1e-9 render (mixture path, with a
+    negligible importance component) must match the frac = 1.0 render to
+    float tolerance, deterministically and stochastically."""
+    o, d, near, far = demo_rays(12)
+    outs = {}
+    for frac in (1.0, 1.0 - 1e-9):
+        nets, params = resampled_nets(n_render_samples=12, frac=frac,
+                                      n_outside=8)
+        outs[frac] = {
+            "det": render(nets, params, o, d, near, far,
+                          perturb_overwrite=0,
+                          background_rgb=jnp.ones((1, 3)),
+                          cos_anneal_ratio=1.0),
+            "sto": render(nets, params, o, d, near, far,
+                          key=jax.random.PRNGKey(11),
+                          background_rgb=jnp.ones((1, 3)),
+                          cos_anneal_ratio=1.0),
+        }
+    for mode in ("det", "sto"):
+        a, b = outs[1.0][mode], outs[1.0 - 1e-9][mode]
+        np.testing.assert_allclose(np.asarray(a["z_vals"]),
+                                   np.asarray(b["z_vals"]),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a["color_fine"]),
+                                   np.asarray(b["color_fine"]),
+                                   rtol=0, atol=1e-4)
+        assert np.isfinite(np.asarray(a["color_fine"])).all()
+
+
 def test_gradients_flow_to_all_param_groups():
     nets, params = resampled_nets(n_render_samples=12, n_outside=8)
     o, d, near, far = demo_rays(8)

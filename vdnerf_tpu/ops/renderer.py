@@ -464,15 +464,28 @@ def render(
             # ladder's fixed final inv_s: the sample PDF must track the
             # actual render kernel, which is broad early in training and
             # sharpens as the variance parameter anneals.
-            inv_s_est = jax.lax.stop_gradient(
-                jnp.clip(variance_apply(params["variance"]), 1e-6, 1e6)
-            )
-            w = section_weights(
-                rays_o, rays_d, z_vals_up, sdf, inv_s=inv_s_est
-            )
-            w_norm = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-6)
             frac = rcfg.resample_uniform_frac
-            w_mix = (1.0 - frac) * w_norm + frac / (n_samples - 1)
+            if frac >= 1.0:
+                # pure stratified-uniform ladder subsampling (the mask-free
+                # recommendation, PERF_r03.md section 4 floor sweep): the
+                # PDF is constant over the ladder's section index (which
+                # still inherits the up-sample ladder's near-surface
+                # z-density), so skip the weight-estimate forward entirely.
+                # A frac=1.0 mixture is mathematically identical but XLA
+                # cannot DCE the 0 * w_norm term (0 * non-finite != 0).
+                w_mix = jnp.full(
+                    z_vals_up.shape[:-1] + (n_samples - 1,),
+                    1.0 / (n_samples - 1),
+                )
+            else:
+                inv_s_est = jax.lax.stop_gradient(
+                    jnp.clip(variance_apply(params["variance"]), 1e-6, 1e6)
+                )
+                w = section_weights(
+                    rays_o, rays_d, z_vals_up, sdf, inv_s=inv_s_est
+                )
+                w_norm = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-6)
+                w_mix = (1.0 - frac) * w_norm + frac / (n_samples - 1)
             if perturb > 0:
                 # stratified (shared-phase) draws, NOT iid: iid inverse-CDF
                 # positions carry ~2x-the-signal SDF-gradient noise and
