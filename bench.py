@@ -30,7 +30,8 @@ TORCH_BASELINE_RAYS_PER_SEC = 3000.0
 
 def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
                 bf16: bool = True, grad_accum: int = 1,
-                fast_bg: bool = False, render_samples: int = 0):
+                fast_bg: bool = False, render_samples: int = 0,
+                uniform_frac: float | None = None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -59,12 +60,13 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
         # post-onset program, the one that runs for the bulk of training).
         import dataclasses
 
+        renderer_kwargs = dict(skip_bg_inside=fast_bg,
+                               n_render_samples=render_samples)
+        if uniform_frac is not None:
+            renderer_kwargs["resample_uniform_frac"] = uniform_frac
         nets = dataclasses.replace(
             nets,
-            renderer=dataclasses.replace(
-                nets.renderer, skip_bg_inside=fast_bg,
-                n_render_samples=render_samples,
-            ),
+            renderer=dataclasses.replace(nets.renderer, **renderer_kwargs),
         )
     tcfg = TrainConfig(batch_size=batch_size)
     H = W = 256
@@ -262,12 +264,17 @@ def main():
 
     # production fast paths (convergence-validated at flagship scale) —
     # reported alongside, never as the headline: skip_bg_inside, the
-    # importance-resampled render core (64 of 128), and both combined
+    # importance-resampled render core at the masked recipe's width
+    # (64 of 128, confs/wmask_tpu.conf), and the tuned mask-free
+    # production combo (skip_bg_inside + 96-of-128 pure-uniform core,
+    # the commented operating point in confs/womsk_white_tpu.conf —
+    # -0.09 dB iso-iteration, docs/RESAMPLE_AB_CPU.json womsk_floor_sweep)
     fast_modes = {}
     for label, kwargs in (
         ("fast_bg", dict(fast_bg=True)),
         ("resample", dict(render_samples=64)),
-        ("fast_bg_resample", dict(fast_bg=True, render_samples=64)),
+        ("fast_bg_resample", dict(fast_bg=True, render_samples=96,
+                                  uniform_frac=1.0)),
     ):
         if _over_budget(label):
             continue
