@@ -29,6 +29,44 @@ def _cli_env():
     return env
 
 
+def test_sigterm_handler_restored_when_train_raises(tmp_path, monkeypatch):
+    """train() must restore the previous SIGTERM handler on EVERY exit path
+    (try/finally), not only on clean completion/preemption: multi-leg
+    in-process drivers (tools/vdn_cycle_run.py, tools/resample_ab.py) call
+    train() repeatedly, and a stale handler from a failed leg would silently
+    swallow SIGTERM for the rest of the process."""
+    from vdnerf_tpu.runner import Runner
+
+    d = str(tmp_path)
+    make_synthetic_scene(d, n_images=3, H=32, W=32)
+    conf = os.path.join(d, "synthetic.conf")
+    write_synthetic_conf(
+        conf, data_dir=d, exp_dir=os.path.join(d, "exp"),
+        end_iter=4, batch_size=16, save_freq=100, val_freq=2,
+        val_mesh_freq=100,
+    )
+    runner = Runner(conf, mode="train")
+
+    def boom(*a, **k):
+        raise RuntimeError("validation failed mid-train")
+
+    monkeypatch.setattr(runner, "validate_image", boom)
+    sentinel_calls = []
+    prev = signal.signal(signal.SIGTERM, lambda *_: sentinel_calls.append(1))
+    try:
+        with pytest.raises(RuntimeError, match="validation failed"):
+            runner.train()
+        restored = signal.getsignal(signal.SIGTERM)
+        assert restored is not signal.SIG_DFL
+        os.kill(os.getpid(), signal.SIGTERM)
+        time.sleep(0.05)  # let the eval loop deliver the Python handler
+        assert sentinel_calls, (
+            "SIGTERM handler was not restored after train() raised"
+        )
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
 @pytest.mark.slow
 @pytest.mark.heavy_e2e
 def test_sigterm_checkpoints_and_resume_completes(tmp_path):

@@ -92,15 +92,10 @@ def main(argv=None):
                         "net features, 12 is an adversarially sharp teacher")
     args = p.parse_args(argv)
 
-    import jax
+    from vdnerf_tpu.utils.platforms import apply_jax_platforms_env
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # the env var alone is ignored once the axon plugin has registered;
-        # apply it to the config too (same contract as vdnerf_tpu/cli.py)
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:  # noqa: BLE001 - already initialized
-            pass
+    apply_jax_platforms_env()
+    import jax
 
     import jax.numpy as jnp
     import numpy as np
@@ -330,6 +325,7 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     t0 = time.time()
     startup_s = None
+    onset_compile_s = None
     val_wall = 0.0
     for i0 in range(0, args.iters, k_scan):
         idxs = [(i0 + j) % sd.n_images for j in range(k_scan)]
@@ -337,6 +333,13 @@ def main(argv=None):
         fn = (faithful_scan_step
               if faithful_scan_step is not None and i0 < args.resample_from
               else scan_step)
+        onset_window = (faithful_scan_step is not None
+                        and i0 == args.resample_from and i0 > 0)
+        if onset_window:
+            # drain queued faithful windows first so the switch window's
+            # timer sees only the resample program's compile + one window
+            jax.block_until_ready(state["step"])
+            t_switch = time.time()
         state, ms = fn(state, batches)
         if i0 == 0:
             # first dispatch absorbs the (remote) XLA compile — time it
@@ -346,6 +349,14 @@ def main(argv=None):
             startup_s = time.time() - t0
             print(f"first-dispatch (compile) wall: {startup_s:.0f}s",
                   flush=True)
+        elif onset_window:
+            # phased-resample runs switch XLA programs here: the first
+            # dispatch of the resample program absorbs a SECOND remote
+            # compile, which belongs to startup, not steady state
+            jax.block_until_ready(ms["loss"])
+            onset_compile_s = time.time() - t_switch
+            print(f"resample-onset dispatch (second compile) wall: "
+                  f"{onset_compile_s:.0f}s", flush=True)
         it = i0 + k_scan
         if it % 500 == 0 or it == k_scan:
             elapsed = time.time() - t0
@@ -381,17 +392,22 @@ def main(argv=None):
             val_wall += time.time() - t_val
     train_wall = time.time() - t0
     rays_per_sec = args.iters * tcfg.batch_size / train_wall
-    # steady state excludes the one-time compile and the interleaved
+    # steady state excludes the compile-absorbing windows (first dispatch +
+    # the resample-onset program switch, if any) and the interleaved
     # validation renders
+    compile_wall = (startup_s or 0.0) + (onset_compile_s or 0.0)
+    compile_windows = int(startup_s is not None) + int(
+        onset_compile_s is not None
+    )
     steady_rays_per_sec = (
-        (args.iters - k_scan) * tcfg.batch_size
-        / max(train_wall - startup_s - val_wall, 1e-9)
-        if startup_s else rays_per_sec
+        (args.iters - compile_windows * k_scan) * tcfg.batch_size
+        / max(train_wall - compile_wall - val_wall, 1e-9)
+        if compile_windows else rays_per_sec
     )
     print(f"trained {args.iters} iters in {train_wall:.0f}s "
           f"({rays_per_sec:.0f} rays/s incl. startup; "
           f"{steady_rays_per_sec:.0f} rays/s steady-state excl. "
-          f"{startup_s:.0f}s compile)", flush=True)
+          f"{compile_wall:.0f}s compile)", flush=True)
 
     # persist the trained state so the run is resumable/inspectable
     from vdnerf_tpu.io import checkpoint_path, save_state
@@ -521,6 +537,9 @@ def main(argv=None):
         },
         "train_wall_s": round(train_wall, 1),
         "startup_compile_s": round(startup_s, 1) if startup_s else None,
+        "resample_onset_compile_s": (
+            round(onset_compile_s, 1) if onset_compile_s else None
+        ),
         "val_wall_s": round(val_wall, 1),
         "rays_per_sec": round(rays_per_sec, 1),
         "steady_rays_per_sec": round(steady_rays_per_sec, 1),

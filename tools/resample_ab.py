@@ -156,15 +156,9 @@ def main(argv=None):
         # share a scene dir between the two regimes
         args.workdir = "/tmp/resample_ab_masked"
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # the env var alone is ignored once the axon plugin has registered;
-        # apply it to the config too (same contract as vdnerf_tpu/cli.py)
-        import jax
+    from vdnerf_tpu.utils.platforms import apply_jax_platforms_env
 
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:  # noqa: BLE001 - already initialized
-            pass
+    apply_jax_platforms_env()
 
     from vdn_cycle_run import geometry_qc, object_masked_psnr
     from vdnerf_tpu.cli import main as cli_main

@@ -225,6 +225,41 @@ def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
     return path
 
 
+def run_wdepth_leg(conf_path, exp_dir, scene_dir, wit, mesh_res, report):
+    """Stage 5 (distilled retrain): train through the real CLI, evaluate
+    object-masked PSNR / eikonal / mesh geometry at the leg's final
+    checkpoint, and parse the distillation-loss trajectory out of
+    metrics.jsonl into ``report``. Shared by the full cycle and
+    --skip-to-wdepth so the two report flavors cannot silently diverge."""
+    import json as _json
+
+    import numpy as np
+
+    from vdnerf_tpu.cli import main as cli_main
+    from vdnerf_tpu.runner import Runner
+
+    t5 = time.time()
+    cli_main(["--conf", conf_path, "--mode", "train"])
+    report["stages"]["train_wdepth_s"] = round(time.time() - t5, 1)
+    runner = Runner(conf_path, mode="eval")
+    runner.load_checkpoint_iter(wit)
+    psnr, eik = object_masked_psnr(runner, scene_dir)
+    report["wdepth_object_masked_psnr_res2"] = round(psnr, 3)
+    report["wdepth_eikonal"] = round(eik, 5)
+    report["wdepth_geometry"] = geometry_qc(runner, scene_dir, mesh_res)
+    with open(os.path.join(exp_dir, "logs", "metrics.jsonl")) as f:
+        records = [_json.loads(line) for line in f]
+    dlosses = [r["depth_loss"] for r in records if "depth_loss" in r]
+    report["distillation"] = {
+        "depth_loss_first": round(dlosses[0], 4) if dlosses else None,
+        "depth_loss_last": round(dlosses[-1], 4) if dlosses else None,
+        "all_losses_finite": bool(
+            np.isfinite([r["loss"] for r in records]).all()
+        ),
+    }
+    return report
+
+
 def wdepth_leg_only(args, scene_dir, wit):
     """--skip-to-wdepth: rerun ONLY the distilled retrain leg (stage 5)
     against the VDN features a completed cycle already extracted into
@@ -235,9 +270,6 @@ def wdepth_leg_only(args, scene_dir, wit):
     import json as _json
 
     import numpy as np
-
-    from vdnerf_tpu.cli import main as cli_main
-    from vdnerf_tpu.runner import Runner
 
     feat_dir = os.path.join(scene_dir, "image", "wavelet_feats", "0")
     if not os.path.isdir(feat_dir) or not os.listdir(feat_dir):
@@ -268,25 +300,7 @@ def wdepth_leg_only(args, scene_dir, wit):
         dpt_dim=int(feats0.shape[1]),
         depth_start_iter=args.depth_start_iter,
     )
-    t5 = time.time()
-    cli_main(["--conf", conf, "--mode", "train"])
-    report["stages"]["train_wdepth_s"] = round(time.time() - t5, 1)
-    runner = Runner(conf, mode="eval")
-    runner.load_checkpoint_iter(wit)
-    psnr, eik = object_masked_psnr(runner, scene_dir)
-    report["wdepth_object_masked_psnr_res2"] = round(psnr, 3)
-    report["wdepth_eikonal"] = round(eik, 5)
-    report["wdepth_geometry"] = geometry_qc(runner, scene_dir, args.mesh_res)
-    with open(os.path.join(exp_dir, "logs", "metrics.jsonl")) as f:
-        records = [_json.loads(line) for line in f]
-    dlosses = [r["depth_loss"] for r in records if "depth_loss" in r]
-    report["distillation"] = {
-        "depth_loss_first": round(dlosses[0], 4) if dlosses else None,
-        "depth_loss_last": round(dlosses[-1], 4) if dlosses else None,
-        "all_losses_finite": bool(
-            np.isfinite([r["loss"] for r in records]).all()
-        ),
-    }
+    run_wdepth_leg(conf, exp_dir, scene_dir, wit, args.mesh_res, report)
     out_path = os.path.join(
         args.out, f"vdn_cycle_report_wdepth{wit}{tag}.json"
     )
@@ -486,34 +500,19 @@ def main(argv=None):
                              os.path.join(args.out, "exp_wdepth"),
                              wdepth=True, iters=wit,
                              dpt_dim=report["vdn_features"]["shape"][1])
-    t5 = time.time()
-    cli_main(["--conf", wdepth_conf, "--mode", "train"])
-    report["stages"]["train_wdepth_s"] = round(time.time() - t5, 1)
-    runner = Runner(wdepth_conf, mode="eval")
-    runner.load_checkpoint_iter(wit)
-    wdepth_psnr, wdepth_eik = object_masked_psnr(runner, scene_dir)
-    report["wdepth_object_masked_psnr_res2"] = round(wdepth_psnr, 3)
-    report["wdepth_eikonal"] = round(wdepth_eik, 5)
-    report["wdepth_geometry"] = geometry_qc(runner, scene_dir, args.mesh_res)
-    print(f"[cycle] wdepth eikonal {wdepth_eik:.4f}, "
+    run_wdepth_leg(wdepth_conf, os.path.join(args.out, "exp_wdepth"),
+                   scene_dir, wit, args.mesh_res, report)
+    print(f"[cycle] wdepth eikonal {report['wdepth_eikonal']:.4f}, "
           f"Chamfer {report['wdepth_geometry']['chamfer']} "
           f"(base {report['base_geometry']['chamfer']})", flush=True)
-
-    with open(os.path.join(args.out, "exp_wdepth", "logs",
-                           "metrics.jsonl")) as f:
-        records = [json.loads(line) for line in f]
-    dlosses = [r["depth_loss"] for r in records if "depth_loss" in r]
-    assert dlosses, "distillation loss never fired"
-    report["distillation"] = {
-        "depth_loss_first": round(dlosses[0], 4),
-        "depth_loss_last": round(dlosses[-1], 4),
-        "all_losses_finite": bool(
-            np.isfinite([r["loss"] for r in records]).all()
-        ),
-    }
+    dist = report["distillation"]
+    assert dist["depth_loss_first"] is not None, \
+        "distillation loss never fired"
     print(f"[cycle] wdepth train {report['stages']['train_wdepth_s']}s, "
-          f"object-masked PSNR {wdepth_psnr:.2f} dB, depth_loss "
-          f"{dlosses[0]:.3f} -> {dlosses[-1]:.3f}", flush=True)
+          f"object-masked PSNR "
+          f"{report['wdepth_object_masked_psnr_res2']:.2f} dB, depth_loss "
+          f"{dist['depth_loss_first']:.3f} -> {dist['depth_loss_last']:.3f}",
+          flush=True)
 
     report["total_wall_s"] = round(time.time() - t0, 1)
     with open(os.path.join(args.out, "vdn_cycle_report.json"), "w") as f:

@@ -224,6 +224,13 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="/tmp/wdepth_ab")
     args = p.parse_args(argv)
 
+    # CPU A/B: both stacks must run on the same host CPU — without this the
+    # jax arm silently runs on the ambient axon TPU while torch runs on CPU,
+    # corrupting the wall-clock comparison (and contending with any chip job)
+    from vdnerf_tpu.utils.platforms import apply_jax_platforms_env
+
+    apply_jax_platforms_env()
+
     from vdnerf_tpu.data.dataset import SceneData
     from vdnerf_tpu.data.rays import RayStore
     from vdnerf_tpu.data.synthetic import make_synthetic_scene

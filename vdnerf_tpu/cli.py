@@ -41,17 +41,9 @@ def main(argv=None) -> None:
     )
     args = build_parser().parse_args(argv)
 
-    # Honor JAX_PLATFORMS explicitly: the env var alone is ignored once a
-    # platform plugin (e.g. the axon TPU tunnel) registers first, so
-    # `JAX_PLATFORMS=cpu python -m vdnerf_tpu.cli ...` would silently run
-    # on the TPU without this (same force-override tests/conftest.py does).
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
+    from vdnerf_tpu.utils.platforms import apply_jax_platforms_env
 
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except RuntimeError:
-            pass  # backend already initialized (in-process caller set it up)
+    apply_jax_platforms_env()
 
     from vdnerf_tpu.runner import Runner
 

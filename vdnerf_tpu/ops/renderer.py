@@ -433,9 +433,14 @@ def render(
                 rays_o, rays_d, z_vals_up, sdf, per_round, 64 * 2**i
             )
             # the resampled core needs SDF values over the FULL final ladder
-            # set to build its weight estimate; otherwise the last round's
-            # SDF eval is skipped (its samples go straight to render_core)
-            last = i + 1 == rcfg.up_sample_steps and not resample
+            # set to build its weight estimate — unless that estimate is the
+            # pure-uniform floor (resample_uniform_frac >= 1.0), which reads
+            # no SDF at all; in both other cases the last round's SDF eval is
+            # skipped (its samples go straight to render_core)
+            needs_weight_est = (
+                resample and rcfg.resample_uniform_frac < 1.0
+            )
+            last = i + 1 == rcfg.up_sample_steps and not needs_weight_est
             new_sdf = None
             if not last:
                 new_pts = (
@@ -500,7 +505,11 @@ def render(
                 z_core = sample_pdf(
                     z_vals_up, w_mix, rcfg.n_render_samples, det=True
                 )
-            z_core = jax.lax.sort(z_core, dimension=-1)
+            # z_core is already sorted per ray: both modes used here draw
+            # monotone-increasing u (det = midpoint grid; stratified =
+            # (i + xi)/n with one shared phase), and the gather-free
+            # inverse-CDF interpolation is monotone non-decreasing in u —
+            # no sort needed.
             # pin the core's endpoints to the ladder's first/last z (the
             # faithful path's exact endpoints: base linspace spans
             # [near, far]). The last-sample pin is load-bearing under

@@ -355,90 +355,99 @@ class Runner:
         # block on a device->host transfer (~30 ms RTT on the tunneled TPU),
         # defeating the multi-step-dispatch amortization
         host_step = self.iter_step
-        for _ in range(res_step // k):
-            # image draw and pixel sampling interleave per step exactly as
-            # with K=1 (the permutation refill can land mid-window), so the
-            # sampling stream is bit-identical across steps_per_call settings
-            step_batches = []
-            for _j in range(k):
-                idx = int(image_perm[perm_pos % len(image_perm)])
-                step_batches.append(
-                    self.store.sample_pixels(idx, self.tcfg.batch_size,
-                                             self.rng)
-                )
-                perm_pos += 1
-                if perm_pos % len(image_perm) == 0:
-                    image_perm = self.rng.permutation(self.scene_data.n_images)
-            if profile_dir and host_step <= 10 < host_step + k:
-                jax.profiler.start_trace(profile_dir)
-            if k > 1:
-                batch = {
-                    name: np.stack([b[name] for b in step_batches])
-                    for name in step_batches[0]
-                }
-            else:
-                batch = step_batches[0]
-            first_step = host_step + 1
-            if first_step > resample_boundary:
-                step_fn, place = resample_step_fn, resample_place
-            self.state, metrics_k = step_fn(self.state, place(batch))
-            host_step += k
-            if profile_dir and host_step - k <= 15 < host_step:
-                jax.profiler.stop_trace()
-
-            rays_ps = throughput.tick(k)
-            due_steps = [
-                s for s in range(first_step, host_step + 1)
-                if s % 10 == 0 or s <= 1 or s % self.tcfg.report_freq == 0
-            ]
-            if due_steps:
-                # one bulk device->host transfer for the window — each
-                # per-scalar float() costs a full tunnel RTT; windows with
-                # nothing due stay fully async
-                mk = jax.device_get(metrics_k)
-                for s in due_steps:
-                    metrics = (
-                        {n: v[s - first_step] for n, v in mk.items()}
-                        if k > 1 else mk
+        # the finally clause restores the previous SIGTERM handler on EVERY
+        # exit path (normal completion, preemption return, exceptions) —
+        # multi-leg in-process drivers (tools/vdn_cycle_run.py) call train()
+        # repeatedly, and a stale handler would silently swallow SIGTERM for
+        # the rest of the process after one failed leg
+        try:
+            for _ in range(res_step // k):
+                # image draw and pixel sampling interleave per step exactly
+                # as with K=1 (the permutation refill can land mid-window),
+                # so the sampling stream is bit-identical across
+                # steps_per_call settings
+                step_batches = []
+                for _j in range(k):
+                    idx = int(image_perm[perm_pos % len(image_perm)])
+                    step_batches.append(
+                        self.store.sample_pixels(idx, self.tcfg.batch_size,
+                                                 self.rng)
                     )
-                    if s % 10 == 0 or s <= 1:
-                        writer.write(
-                            s, {**metrics, "rays_per_sec": rays_ps}
+                    perm_pos += 1
+                    if perm_pos % len(image_perm) == 0:
+                        image_perm = self.rng.permutation(
+                            self.scene_data.n_images
                         )
-                    if s % self.tcfg.report_freq == 0:
-                        log.info(
-                            "iter %d loss=%.5f psnr=%.3f rays/s=%.0f",
-                            s, float(metrics["loss"]),
-                            float(metrics["psnr"]), rays_ps,
-                        )
-            step = host_step
-            if self._preempt_signal is not None:
-                # checkpoint BEFORE the periodic validations: the grace
-                # window after SIGTERM is short, renders can take minutes
-                self.save_checkpoint()
-                writer.flush()
-                log.warning(
-                    "preemption signal %d: checkpoint saved at iter %d; "
-                    "rerun with --is_continue to resume",
-                    self._preempt_signal, step,
-                )
-                if prev_sigterm is not None:
-                    signal.signal(signal.SIGTERM, prev_sigterm)
-                return
-            if step % self.tcfg.save_freq == 0:
-                self.save_checkpoint()
-            if step % self.tcfg.val_freq == 0:
-                self.validate_image()
-            if step % self.tcfg.val_mesh_freq == 0:
-                res, world = 128, False
-                if step % 150000 == 0:
-                    res, world = 512, True
-                elif step % 50000 == 0:
-                    res = 256
-                self.validate_mesh(world_space=world, resolution=res)
+                if profile_dir and host_step <= 10 < host_step + k:
+                    jax.profiler.start_trace(profile_dir)
+                if k > 1:
+                    batch = {
+                        name: np.stack([b[name] for b in step_batches])
+                        for name in step_batches[0]
+                    }
+                else:
+                    batch = step_batches[0]
+                first_step = host_step + 1
+                if first_step > resample_boundary:
+                    step_fn, place = resample_step_fn, resample_place
+                self.state, metrics_k = step_fn(self.state, place(batch))
+                host_step += k
+                if profile_dir and host_step - k <= 15 < host_step:
+                    jax.profiler.stop_trace()
 
-        if prev_sigterm is not None:
-            signal.signal(signal.SIGTERM, prev_sigterm)
+                rays_ps = throughput.tick(k)
+                due_steps = [
+                    s for s in range(first_step, host_step + 1)
+                    if s % 10 == 0 or s <= 1
+                    or s % self.tcfg.report_freq == 0
+                ]
+                if due_steps:
+                    # one bulk device->host transfer for the window — each
+                    # per-scalar float() costs a full tunnel RTT; windows
+                    # with nothing due stay fully async
+                    mk = jax.device_get(metrics_k)
+                    for s in due_steps:
+                        metrics = (
+                            {n: v[s - first_step] for n, v in mk.items()}
+                            if k > 1 else mk
+                        )
+                        if s % 10 == 0 or s <= 1:
+                            writer.write(
+                                s, {**metrics, "rays_per_sec": rays_ps}
+                            )
+                        if s % self.tcfg.report_freq == 0:
+                            log.info(
+                                "iter %d loss=%.5f psnr=%.3f rays/s=%.0f",
+                                s, float(metrics["loss"]),
+                                float(metrics["psnr"]), rays_ps,
+                            )
+                step = host_step
+                if self._preempt_signal is not None:
+                    # checkpoint BEFORE the periodic validations: the grace
+                    # window after SIGTERM is short, renders can take
+                    # minutes
+                    self.save_checkpoint()
+                    writer.flush()
+                    log.warning(
+                        "preemption signal %d: checkpoint saved at iter %d; "
+                        "rerun with --is_continue to resume",
+                        self._preempt_signal, step,
+                    )
+                    return
+                if step % self.tcfg.save_freq == 0:
+                    self.save_checkpoint()
+                if step % self.tcfg.val_freq == 0:
+                    self.validate_image()
+                if step % self.tcfg.val_mesh_freq == 0:
+                    res, world = 128, False
+                    if step % 150000 == 0:
+                        res, world = 512, True
+                    elif step % 50000 == 0:
+                        res = 256
+                    self.validate_mesh(world_space=world, resolution=res)
+        finally:
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, prev_sigterm)
         writer.flush()
         self.val_all_imgs(resolution_level=2, both_mask=True)
 
