@@ -96,6 +96,10 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="parity_report.json")
     args = p.parse_args(argv)
 
+    from vdnerf_tpu.utils.platforms import apply_jax_platforms_env
+
+    apply_jax_platforms_env()
+
     wanted = set(args.cases.split(",")) if args.cases else None
     results = []
     for case in sorted(os.listdir(args.pretrained_root)):

@@ -100,6 +100,10 @@ def main(argv=None):
     p.add_argument("--scene", type=str, default="/tmp/vdn_pose_refine")
     args = p.parse_args(argv)
 
+    from vdnerf_tpu.utils.platforms import apply_jax_platforms_env
+
+    apply_jax_platforms_env()
+
     from vdnerf_tpu.data.synthetic import make_synthetic_scene
     from vdnerf_tpu.models.precision import enable_bf16
 

@@ -54,6 +54,10 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="docs/PROFILE_r03.json")
     args = p.parse_args(argv)
 
+    from vdnerf_tpu.utils.platforms import apply_jax_platforms_env
+
+    apply_jax_platforms_env()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

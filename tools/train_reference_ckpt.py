@@ -175,6 +175,10 @@ def main(argv=None):
     p.add_argument("--make_scene", action="store_true", default=True)
     args = p.parse_args(argv)
 
+    from vdnerf_tpu.utils.platforms import apply_jax_platforms_env
+
+    apply_jax_platforms_env()
+
     if args.make_scene and not os.path.isdir(
         os.path.join(args.scene_dir, "image")
     ):
