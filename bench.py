@@ -38,8 +38,11 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
 
     if bf16:
         # convergence-validated mixed precision (identical PSNR trajectory
-        # to fp32 on the synthetic-sphere run); the step is HBM-bound and
-        # bf16 activations cut traffic ~1.4x
+        # to fp32 on the synthetic-sphere run); f32 matmuls already run at
+        # the bf16 MXU rate, so the win is bf16 *activations* cutting HBM
+        # traffic on the non-matmul stretches (~1.4x step-level; the
+        # dominant SDF kernel itself is compute-bound at the matmul
+        # roofline — docs/PERF_r02.md)
         from vdnerf_tpu.models.precision import enable_bf16
 
         enable_bf16(True)

@@ -61,9 +61,11 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
 
     mm_dtype = get_matmul_dtype()
     if mm_dtype is not None:
-        # bf16 activations: halves HBM traffic (the step is bandwidth-bound:
-        # ~32 GB accessed vs ~0.9 TFLOP at batch 512). Accumulation stays
-        # fp32; the out-facing head values are cast back by the callers.
+        # bf16 activations: halves HBM traffic on the non-matmul stretches
+        # (f32 matmuls already run at the bf16 MXU rate, so the matmul cast
+        # is rate-neutral — the ~1.4x step win is activation bandwidth; see
+        # docs/PERF_r02.md roofline). Accumulation stays fp32; the
+        # out-facing head values are cast back by the callers.
         x = x.astype(mm_dtype)
         w = w.astype(mm_dtype)
         y = jnp.dot(x, w, preferred_element_type=jnp.float32) + p["b"]
