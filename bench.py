@@ -31,7 +31,8 @@ TORCH_BASELINE_RAYS_PER_SEC = 3000.0
 def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
                 bf16: bool = True, grad_accum: int = 1,
                 fast_bg: bool = False, render_samples: int = 0,
-                uniform_frac: float | None = None):
+                uniform_frac: float | None = None,
+                wmask_shape: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,6 +54,17 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
     from vdnerf_tpu.train.step import make_train_scan_step
 
     nets, params, _ = _full_size_setup(batch=batch_size, small=False)
+    if wmask_shape:
+        # the exact confs/wmask_tpu.conf model + loss shape: no background
+        # NeRF (n_outside=0; the runner still builds + optimizes the nerf
+        # params per the conf's nerf block, matching the shipped step) and
+        # the mask BCE loss (mask_weight=0.1). Combine with
+        # render_samples=64 for the conf's post-onset program.
+        import dataclasses
+
+        nets = dataclasses.replace(
+            nets, renderer=dataclasses.replace(nets.renderer, n_outside=0)
+        )
     if fast_bg or render_samples:
         # opt-in production fast paths (documented approximations) — NOT
         # the headline metric, which stays on the reference-faithful
@@ -71,7 +83,8 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
             nets,
             renderer=dataclasses.replace(nets.renderer, **renderer_kwargs),
         )
-    tcfg = TrainConfig(batch_size=batch_size)
+    tcfg = TrainConfig(batch_size=batch_size, use_mask=wmask_shape,
+                       mask_weight=0.1 if wmask_shape else 0.0)
     H = W = 256
     n_images = 4
     K = np.eye(4)
@@ -278,6 +291,9 @@ def main():
         ("resample", dict(render_samples=64)),
         ("fast_bg_resample", dict(fast_bg=True, render_samples=96,
                                   uniform_frac=1.0)),
+        # the true shipped wmask_tpu.conf step: n_outside=0 + mask BCE +
+        # the 64-of-128 resampled core (post-onset program)
+        ("wmask", dict(wmask_shape=True, render_samples=64)),
     ):
         if _over_budget(label):
             continue
@@ -309,6 +325,18 @@ def main():
         out[f"{label}_vs_baseline"] = round(
             rps / n_chips / TORCH_BASELINE_RAYS_PER_SEC, 2
         )
+    # each arm labeled with the configuration it measures (VERDICT r3 #6)
+    out["arm_confs"] = {
+        "headline": "womsk_white_tpu.conf faithful (resample commented)",
+        "fast_bg": "womsk_white_tpu.conf (skip_bg_inside production mode)",
+        "resample": "64-of-128 core width on the womsk_white workload "
+                    "(diagnostic; no shipped conf pairs resample with bg "
+                    "NeRF at frac 0.25)",
+        "fast_bg_resample": "womsk_white_tpu.conf tuned point "
+                            "(96-of-128 frac=1.0, shipped commented)",
+        "wmask": "wmask_tpu.conf as shipped (n_outside=0 + mask BCE + "
+                 "64-of-128 core, post-onset program)",
+    }
     for label, kwargs in (("render", {}),
                           ("render_resample", dict(render_samples=64))):
         if _over_budget(label):

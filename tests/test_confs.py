@@ -71,10 +71,13 @@ def test_womsk_tpu_recipe():
     assert not tcfg.use_mask and tcfg.mask_weight == 0
     assert nets.renderer.skip_bg_inside  # convergence-validated fast path
     # mask-free training is floor-sensitive (womsk_floor_sweep: -2.3 dB at
-    # the default floor, -0.30 dB at the tuned 96-of-128/frac-0.5 point) ->
-    # the faithful core stays the default for the headline-quality recipe;
-    # the tuned point ships commented in the conf
-    assert nets.renderer.n_render_samples == 0
+    # the default floor) -> the conf ships the TUNED operating point:
+    # 96-of-128 PURE-uniform (frac=1.0), validated at flagship dims on the
+    # chip (docs/FLAGSHIP_r04_womsk_tuned.json: +1.4 dB iso-iteration,
+    # Chamfer parity, 1.6x faster than the faithful core)
+    assert nets.renderer.n_render_samples == 96
+    assert nets.renderer.resample_uniform_frac == 1.0
+    assert tcfg.resample_from == 50000  # after the anneal
     # identical model dims to the reference's womsk_white.conf
     ref = _load(os.path.join(CONF_DIR, "womsk_white.conf"))
     for key in ("n_samples", "n_importance", "n_outside", "up_sample_steps"):

@@ -52,7 +52,7 @@ train {{
     val_freq = {val_freq}
     val_mesh_freq = {iters}
     report_freq = 500
-    igr_weight = 0.1
+    igr_weight = {igr_weight}
     mask_weight = 0.0
     use_mask = False
 {extra_train}
@@ -145,6 +145,65 @@ def object_masked_psnr(runner, scene_dir, n_views=4, res_level=2):
     return float(np.mean(psnrs)), float(np.mean(eiks))
 
 
+def depth_export_qc(runner, scene_dir, n_views=4, res_level=2):
+    """Accuracy of the depth-from-SDF export against the ANALYTIC surface.
+
+    The getfeats export (argmax-weight sample depth per ray,
+    reference dpt_runner.py:449-473) is the INPUT to the next cycle
+    iteration (wavelet finetune pseudo-GT). VERDICT r3 weak #3: eikonal
+    discipline degrades under distillation and this export is its first
+    real consumer — so measure the export error directly: per-view
+    |argmax-weight depth − sphere-traced analytic depth| over the true
+    object mask (both are distances along the same unit-norm rays)."""
+    import cv2 as cv
+    import numpy as np
+
+    from vdnerf_tpu.data.cameras import rays_grid
+    from vdnerf_tpu.data.synthetic import _sphere_trace
+
+    sd = runner.scene_data
+    poses, intrin_inv = runner.renderer.resolve_cams(runner.state["cams"])
+    abs_errs, rel_errs = [], []
+    for idx in range(0, sd.n_images, max(sd.n_images // n_views, 1)):
+        out = runner.renderer.render_image(
+            runner.state["params"], runner.state["cams"], idx, res_level,
+            runner.iter_step,
+        )
+        wd = np.asarray(out["weight_depth"])[..., 0]
+        ro, rd = rays_grid(
+            poses[idx], intrin_inv[idx], sd.H, sd.W, res_level
+        )
+        ro = np.asarray(ro, np.float64)
+        rd = np.asarray(rd, np.float64)
+        cam_dist = float(np.linalg.norm(poses[idx][:3, 3]))
+        t, hit = _sphere_trace(ro, rd, cam_dist - 1.0, cam_dist + 1.0)
+        stem = os.path.splitext(os.path.basename(sd.images_lis[idx]))[0]
+        m = cv.imread(
+            os.path.join(scene_dir, "image", "eval_mask", f"{stem}.png"), 0
+        )
+        if res_level > 1:
+            m = cv.resize(m, (sd.W // res_level, sd.H // res_level),
+                          interpolation=cv.INTER_AREA)
+        sel = (m > 127) & hit
+        if not sel.any():
+            continue
+        err = np.abs(wd[sel] - t[sel])
+        abs_errs.append(err)
+        rel_errs.append(err / np.maximum(t[sel], 1e-6))
+    if not abs_errs:
+        return {"n_views": 0}
+    abs_all = np.concatenate(abs_errs)
+    rel_all = np.concatenate(rel_errs)
+    return {
+        "n_views": len(abs_errs),
+        "res_level": res_level,
+        "abs_mean": round(float(abs_all.mean()), 5),
+        "abs_median": round(float(np.median(abs_all)), 5),
+        "abs_p95": round(float(np.percentile(abs_all, 95)), 5),
+        "rel_mean": round(float(rel_all.mean()), 5),
+    }
+
+
 def geometry_qc(runner, scene_dir, resolution=512):
     """512^3 mesh -> visual-hull clean -> Chamfer vs the analytic compound
     surface (VERDICT r2 #1: the cycle must measure GEOMETRY, not just PSNR,
@@ -192,7 +251,8 @@ def geometry_qc(runner, scene_dir, resolution=512):
 
 def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
                     depth_weight_scale=1.0, dpt_dim=96,
-                    depth_start_iter=None):
+                    depth_start_iter=None, lr_end_iter=None,
+                    igr_weight=0.1):
     """Render BASE_CONF for one training leg (shared by the full cycle and
     the --skip-to-wdepth continuation). dpt_dim must match the wavelet
     encoder's feature width (96 for densenet, 32 for mobilenet_light).
@@ -207,9 +267,12 @@ def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
                  f"    depth_before_color = False\n"
                  f"    depth_loss_scale = {depth_weight_scale}\n"
                  f"    rgb_dims = 3")
+    if lr_end_iter:
+        extra += f"\n    lr_end_iter = {lr_end_iter}"
     with open(path, "w") as f:
         f.write(BASE_CONF.format(
             exp_dir=exp_dir, data_dir=scene_dir, iters=iters,
+            igr_weight=igr_weight,
             batch=batch, warm_up=max(iters // 50, 100),
             anneal=max(iters // 4, 1000),
             val_freq=iters // 2,
@@ -247,6 +310,8 @@ def run_wdepth_leg(conf_path, exp_dir, scene_dir, wit, mesh_res, report):
     report["wdepth_object_masked_psnr_res2"] = round(psnr, 3)
     report["wdepth_eikonal"] = round(eik, 5)
     report["wdepth_geometry"] = geometry_qc(runner, scene_dir, mesh_res)
+    # the export a NEXT cycle iteration would consume, measured directly
+    report["wdepth_depth_export_qc"] = depth_export_qc(runner, scene_dir)
     with open(os.path.join(exp_dir, "logs", "metrics.jsonl")) as f:
         records = [_json.loads(line) for line in f]
     dlosses = [r["depth_loss"] for r in records if "depth_loss" in r]
@@ -299,6 +364,7 @@ def wdepth_leg_only(args, scene_dir, wit):
         depth_weight_scale=args.depth_weight_scale,
         dpt_dim=int(feats0.shape[1]),
         depth_start_iter=args.depth_start_iter,
+        lr_end_iter=args.lr_end_iter,
     )
     run_wdepth_leg(conf, exp_dir, scene_dir, wit, args.mesh_res, report)
     out_path = os.path.join(
@@ -312,6 +378,225 @@ def wdepth_leg_only(args, scene_dir, wit):
         "wdepth_eikonal": report["wdepth_eikonal"],
         "wdepth_chamfer": report["wdepth_geometry"]["chamfer"],
         "train_wall_s": report["stages"]["train_wdepth_s"],
+    }), flush=True)
+    return report
+
+
+def cycle2_legs(args, scene_dir, wit):
+    """--cycle2: a SECOND full cycle iteration (VERDICT r3 #3) seeded by a
+    completed cycle's DISTILLED leg. The VDN workflow is a loop
+    (reference dpt_runner.py:775-778 → wavelet/finetune_for_vdn.py →
+    wavelet/predict.py → retrain): cycle 1's output geometry becomes
+    cycle 2's depth teacher. Stages: (2') getfeats from exp_wdepth's
+    checkpoint, (3') wavelet finetune WARM-STARTED from the cycle-1 encoder
+    (our analog of the reference's torchvision-pretrained init), (4')
+    re-extract VDN features, (5') fresh distilled leg → exp_wdepth_c2.
+    Cycle-1 intermediates are archived as *_c1 so both generations of
+    teacher artifacts survive for inspection. Reports whether distillation
+    compounds, saturates, or regresses (wdepth_geometry vs cycle 1's)."""
+    import shutil
+
+    import json as _json
+
+    import numpy as np
+
+    from vdnerf_tpu.cli import main as cli_main
+    from vdnerf_tpu.wavelet.finetune import finetune
+    from vdnerf_tpu.wavelet.predict import main as predict_main
+
+    img_dir = os.path.join(scene_dir, "image")
+    wdepth_conf = os.path.join(args.out, "wdepth.conf")
+    exp_wdepth = os.path.join(args.out, "exp_wdepth")
+    for need in (wdepth_conf, exp_wdepth,
+                 os.path.join(img_dir, "wavelet_feats", "0")):
+        if not os.path.exists(need):
+            raise SystemExit(f"--cycle2 needs a completed cycle in "
+                             f"{args.out} (missing {need})")
+    exp_c2 = os.path.join(args.out, "exp_wdepth_c2")
+    if os.path.exists(exp_c2):
+        raise SystemExit(f"{exp_c2} already exists; delete it first")
+
+    report = {"config": vars(args), "stages": {}}
+    base_report_path = os.path.join(args.out, "vdn_cycle_report.json")
+    if os.path.exists(base_report_path):
+        with open(base_report_path) as f:
+            base = _json.load(f)
+        report["cycle1"] = {
+            k: base.get(k)
+            for k in ("base_geometry", "wdepth_geometry",
+                      "base_object_masked_psnr_res2",
+                      "wdepth_object_masked_psnr_res2",
+                      "base_eikonal", "wdepth_eikonal",
+                      "wdepth_depth_export_qc")
+        }
+
+    # -- 2'. depth export from the DISTILLED checkpoint -------------------
+    # archive cycle 1's exports first (getfeats rewrites depth_from_sdf/)
+    sdf_dir = os.path.join(img_dir, "depth_from_sdf")
+    if os.path.isdir(sdf_dir):
+        c1 = sdf_dir + "_c1"
+        if not os.path.isdir(c1):
+            shutil.move(sdf_dir, c1)
+    t2 = time.time()
+    cli_main(["--conf", wdepth_conf, "--mode", f"getfeats_{wit}"])
+    n_exports = len([f for f in os.listdir(sdf_dir) if f.endswith(".npy")])
+    assert n_exports == args.views, (n_exports, args.views)
+    report["stages"]["getfeats_s"] = round(time.time() - t2, 1)
+    print(f"[cycle2] getfeats from exp_wdepth: {n_exports} maps", flush=True)
+
+    # -- 3'. wavelet finetune, warm-started from the cycle-1 encoder ------
+    c1_ckpts = []
+    for root, _dirs, files in os.walk(os.path.join(args.out, "wavelet_log")):
+        c1_ckpts += [os.path.join(root, f) for f in files if f == "model.npz"]
+    assert c1_ckpts, "no cycle-1 wavelet checkpoint to warm-start from"
+    t3 = time.time()
+    logpath = finetune([
+        "-r", args.out, "--case", os.path.basename(scene_dir),
+        "--epochs", str(args.wavelet_epochs),
+        "-bs", str(args.wavelet_bs),
+        "--image_size", str(args.img_res),
+        "--encoder_type", args.encoder,
+        "--logdir", os.path.join(args.out, "wavelet_log_c2"),
+        "-ckpt", os.path.dirname(sorted(c1_ckpts)[-1]),
+        "--val_freq", "50", "--save_freq", str(args.wavelet_epochs),
+    ])
+    ckpts = []
+    for root, _dirs, files in os.walk(logpath):
+        ckpts += [os.path.join(root, f) for f in files if f == "model.npz"]
+    assert ckpts, f"no cycle-2 wavelet checkpoint under {logpath}"
+    report["stages"]["wavelet_finetune_s"] = round(time.time() - t3, 1)
+    print(f"[cycle2] wavelet finetune (warm-start) "
+          f"{report['stages']['wavelet_finetune_s']}s", flush=True)
+
+    # -- 4'. VDN feature re-extraction -------------------------------------
+    feats_root = os.path.join(img_dir, "wavelet_feats")
+    c1_feats = feats_root + "_c1"
+    if not os.path.isdir(c1_feats):
+        shutil.move(feats_root, c1_feats)
+    t4 = time.time()
+    predict_main([
+        "-ckpt", os.path.dirname(ckpts[0]), "--ckpt_name", "model.npz",
+        "-d", img_dir, "--encoder_type", args.encoder,
+    ])
+    feat_dir = os.path.join(feats_root, "0")
+    feats0 = np.load(os.path.join(feat_dir, sorted(os.listdir(feat_dir))[0]))
+    report["stages"]["predict_s"] = round(time.time() - t4, 1)
+    report["vdn_features"] = {
+        "n_views": len(os.listdir(feat_dir)),
+        "shape": list(feats0.shape),
+        "finite": bool(np.isfinite(feats0).all()),
+    }
+    print(f"[cycle2] features: {report['vdn_features']}", flush=True)
+
+    # -- 5'. second distilled leg ------------------------------------------
+    conf = write_conf_file(
+        os.path.join(args.out, "wdepth_c2.conf"), exp_c2, scene_dir,
+        wit, args.batch, wdepth=True,
+        depth_weight_scale=args.depth_weight_scale,
+        dpt_dim=int(feats0.shape[1]),
+        depth_start_iter=args.depth_start_iter,
+        lr_end_iter=args.lr_end_iter,
+    )
+    run_wdepth_leg(conf, exp_c2, scene_dir, wit, args.mesh_res, report)
+    out_path = os.path.join(args.out, "vdn_cycle2_report.json")
+    with open(out_path, "w") as f:
+        _json.dump(report, f, indent=2)
+    c1g = report.get("cycle1", {}).get("wdepth_geometry") or {}
+    print(_json.dumps({
+        "cycle1_wdepth_chamfer": c1g.get("chamfer"),
+        "cycle2_wdepth_chamfer": report["wdepth_geometry"]["chamfer"],
+        "cycle2_wdepth_psnr": report["wdepth_object_masked_psnr_res2"],
+        "cycle2_wdepth_eikonal": report["wdepth_eikonal"],
+        "cycle2_depth_export_qc": report["wdepth_depth_export_qc"],
+        "train_wall_s": report["stages"]["train_wdepth_s"],
+    }), flush=True)
+    return report
+
+
+def eik_boost_probe(args, scene_dir, wit):
+    """--eik-boost: late-phase eikonal-recovery probe (VERDICT r3 #4).
+
+    Distillation buys surface accuracy but degrades |∇sdf| discipline
+    (GEOMETRY_r03.md: eikonal 0.15-0.71 distilled vs 0.04 undistilled).
+    From the completed cycle's distilled checkpoint (exp_wdepth @ wit),
+    train ``--eik-iters`` further iterations per boosted igr_weight —
+    distillation still on, cosine lr clamped at the wit horizon (the boost
+    phase runs at the alpha*lr floor, a pure late-phase anneal) — and
+    measure whether eikonal discipline recovers WITHOUT giving back the
+    Chamfer, plus the exported-depth error the next cycle iteration would
+    inherit. Reference loss under probe: dpt_runner.py:227-247."""
+    import shutil
+
+    import json as _json
+
+    from vdnerf_tpu.cli import main as cli_main
+    from vdnerf_tpu.runner import Runner
+
+    exp_wdepth = os.path.join(args.out, "exp_wdepth")
+    ckpt = os.path.join(exp_wdepth, "checkpoints")
+    feat_dir = os.path.join(scene_dir, "image", "wavelet_feats", "0")
+    for need in (ckpt, feat_dir):
+        if not os.path.exists(need):
+            raise SystemExit(f"--eik-boost needs a completed cycle in "
+                             f"{args.out} (missing {need})")
+    import numpy as np
+
+    feats0 = np.load(os.path.join(feat_dir, sorted(os.listdir(feat_dir))[0]))
+    end = wit + args.eik_iters
+    report = {"config": vars(args), "arms": {}}
+    base_report_path = os.path.join(args.out, "vdn_cycle_report.json")
+    if os.path.exists(base_report_path):
+        with open(base_report_path) as f:
+            base = _json.load(f)
+        report["wdepth_baseline"] = {
+            k: base.get(k)
+            for k in ("wdepth_geometry", "wdepth_eikonal",
+                      "wdepth_object_masked_psnr_res2",
+                      "wdepth_depth_export_qc", "base_eikonal")
+        }
+    for w in args.eik_boost:
+        tag = f"w{w:g}".replace(".", "p")
+        exp_dir = os.path.join(args.out, f"exp_eikboost_{tag}")
+        if os.path.exists(exp_dir):
+            raise SystemExit(f"{exp_dir} already exists; delete it first")
+        os.makedirs(exp_dir)
+        shutil.copytree(ckpt, os.path.join(exp_dir, "checkpoints"))
+        conf = write_conf_file(
+            os.path.join(args.out, f"eikboost_{tag}.conf"), exp_dir,
+            scene_dir, end, args.batch, wdepth=True,
+            depth_weight_scale=args.depth_weight_scale,
+            dpt_dim=int(feats0.shape[1]),
+            # keep the ORIGINAL leg's onset so the ramp state is unchanged
+            # across the resume (wit//10 is fully ramped by step wit)
+            depth_start_iter=wit // 10,
+            lr_end_iter=wit,
+            igr_weight=w,
+        )
+        t0 = time.time()
+        cli_main(["--conf", conf, "--mode", "train", "--is_continue"])
+        runner = Runner(conf, mode="eval")
+        runner.load_checkpoint_iter(end)
+        psnr, eik = object_masked_psnr(runner, scene_dir)
+        report["arms"][f"igr_{w:g}"] = {
+            "igr_weight": w,
+            "train_wall_s": round(time.time() - t0, 1),
+            "psnr": round(psnr, 3),
+            "eikonal": round(eik, 5),
+            "geometry": geometry_qc(runner, scene_dir, args.mesh_res),
+            "depth_export_qc": depth_export_qc(runner, scene_dir),
+        }
+        print(f"[eik-boost] igr={w:g}: eik {eik:.4f}, chamfer "
+              f"{report['arms'][f'igr_{w:g}']['geometry']['chamfer']}",
+              flush=True)
+        del runner
+    out_path = os.path.join(args.out, "eik_boost_report.json")
+    with open(out_path, "w") as f:
+        _json.dump(report, f, indent=2)
+    print(_json.dumps({
+        k: {kk: v[kk] for kk in ("eikonal", "psnr")} |
+           {"chamfer": v["geometry"]["chamfer"],
+            "depth_abs_mean": v["depth_export_qc"].get("abs_mean")}
+        for k, v in report["arms"].items()
     }), flush=True)
     return report
 
@@ -354,6 +639,27 @@ def main(argv=None):
                         "leg (default: leg_iters // 10, the reference's "
                         "leg-relative schedule). Decouples the teacher "
                         "engagement point from the leg length")
+    p.add_argument("--cycle2", action="store_true",
+                   help="run a SECOND cycle iteration from a completed "
+                        "cycle in --out: getfeats from exp_wdepth's "
+                        "checkpoint, warm-started wavelet finetune, feature "
+                        "re-extraction, and a fresh distilled leg "
+                        "(exp_wdepth_c2). Cycle-1 teacher artifacts are "
+                        "archived as *_c1")
+    p.add_argument("--eik-boost", type=float, nargs="+", default=None,
+                   help="late-phase eikonal-recovery probe: from the "
+                        "completed cycle's distilled checkpoint, train "
+                        "--eik-iters more iterations per listed igr_weight "
+                        "(distillation on, lr held at the cosine floor) and "
+                        "measure eikonal + Chamfer + exported-depth error")
+    p.add_argument("--eik-iters", type=int, default=3000,
+                   help="extra iterations for each --eik-boost arm")
+    p.add_argument("--lr-end-iter", type=int, default=None,
+                   help="clamp the cosine-lr horizon of the wdepth leg to "
+                        "this iteration (train.lr_end_iter; steps past it "
+                        "hold the alpha*lr floor). Isolates the lr-stretch "
+                        "confound from the onset confound in the 25k-"
+                        "plateau schedule probe (GEOMETRY §2c)")
     p.add_argument("--leg-tag", type=str, default="",
                    help="suffix for the --skip-to-wdepth leg's exp dir / "
                         "conf / report names, so schedule variants of the "
@@ -375,6 +681,10 @@ def main(argv=None):
     wit = args.wdepth_iters or args.iters
     if args.skip_to_wdepth:
         return wdepth_leg_only(args, scene_dir, wit)
+    if args.cycle2:
+        return cycle2_legs(args, scene_dir, wit)
+    if args.eik_boost:
+        return eik_boost_probe(args, scene_dir, wit)
     # a reused out dir would silently evaluate stale artifacts (is_continue
     # picks the HIGHEST-numbered checkpoint regardless of which run wrote
     # it; old depth_from_sdf/wavelet ckpts linger) — refuse it
@@ -415,6 +725,7 @@ def main(argv=None):
             wdepth, depth_weight_scale=args.depth_weight_scale,
             dpt_dim=dpt_dim,
             depth_start_iter=args.depth_start_iter if wdepth else None,
+            lr_end_iter=args.lr_end_iter if wdepth else None,
         )
 
     # -- 1. base NeuS training (CLI) ------------------------------------
@@ -429,6 +740,7 @@ def main(argv=None):
     report["base_object_masked_psnr_res2"] = round(base_psnr, 3)
     report["base_eikonal"] = round(base_eik, 5)
     report["base_geometry"] = geometry_qc(runner, scene_dir, args.mesh_res)
+    report["base_depth_export_qc"] = depth_export_qc(runner, scene_dir)
     print(f"[cycle] base train {report['stages']['train_base_s']}s, "
           f"object-masked PSNR {base_psnr:.2f} dB, eikonal {base_eik:.4f}, "
           f"Chamfer {report['base_geometry']['chamfer']}", flush=True)

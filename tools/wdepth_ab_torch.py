@@ -73,7 +73,33 @@ def ramp_weight(depth_iter, total):
     return float(1.0 / (np.exp(-10.0 * (depth_iter / total - 0.5)) + 1.0))
 
 
-def run_torch(sd, store, feat_maps, args, eik_every):
+def sphere_mesh_chamfer(neg_sdf_fn, resolution=128):
+    """Small-grid marching on the trained SDF + Chamfer vs the analytic
+    r=0.5 sphere (VERDICT r3 #5: the A/B's geometry conclusion must rest on
+    SURFACE metrics, not the eikonal proxy GEOMETRY_r03.md shows
+    anti-correlates with surface quality under distillation)."""
+    import numpy as np
+
+    from vdnerf_tpu.mesh import extract_geometry, mesh_chamfer
+
+    bb = 0.9
+    verts, tris = extract_geometry(
+        [-bb] * 3, [bb] * 3, resolution, 0.0, neg_sdf_fn
+    )
+    if not len(verts):
+        return {"n_verts": 0, "chamfer": None}
+    v_gt, t_gt = extract_geometry(
+        [-bb] * 3, [bb] * 3, resolution, 0.0,
+        lambda p: 0.5 - np.linalg.norm(np.asarray(p), axis=-1),
+    )
+    ch = mesh_chamfer(verts, tris, v_gt, t_gt, n_points=20_000)
+    return {
+        "n_verts": int(len(verts)),
+        **{k: round(float(v), 5) for k, v in ch.items()},
+    }
+
+
+def run_torch(sd, store, feat_maps, args, eik_every, distill=True):
     import numpy as np
     import torch
 
@@ -140,7 +166,7 @@ def run_torch(sd, store, feat_maps, args, eik_every):
         color_error = (out["color_fine"] - true_rgb) * mask
         loss = (color_error.abs().sum() / mask_sum
                 + 0.1 * out["gradient_error"])
-        if it > args.start_iter:
+        if distill and it > args.start_iter:
             dfe = (out["render_feats"] - gt_feats) * mask
             dloss = dfe.abs().sum() / mask_sum
             loss = loss + dloss * ramp_weight(depth_iter, args.ramp_iters)
@@ -154,10 +180,17 @@ def run_torch(sd, store, feat_maps, args, eik_every):
             )
             print(f"[torch] iter {it+1} eik {eiks[-1]['eik']:.4f} "
                   f"loss {float(loss):.4f}", flush=True)
-    return eiks
+
+    def neg_sdf(pts):
+        with torch.no_grad():
+            return -t_sdf.sdf(
+                torch.from_numpy(np.asarray(pts, np.float32))
+            )[:, 0].numpy()
+
+    return eiks, sphere_mesh_chamfer(neg_sdf)
 
 
-def run_ours(sd, store, feat_maps, args, eik_every):
+def run_ours(sd, store, feat_maps, args, eik_every, distill=True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -187,7 +220,7 @@ def run_ours(sd, store, feat_maps, args, eik_every):
         batch_size=args.batch, end_iter=args.iters,
         warm_up_end=0, anneal_end=max(args.iters // 4, 1),
         use_white_bkgd=True, use_mask=True, mask_weight=0.0,
-        extract_depth=True, depth_start_iter=args.start_iter,
+        extract_depth=distill, depth_start_iter=args.start_iter,
         depth_ramp_iters=args.ramp_iters,
     )
     params = init_params(jax.random.PRNGKey(0), nets, 0.3)
@@ -211,7 +244,15 @@ def run_ours(sd, store, feat_maps, args, eik_every):
             )
             print(f"[ours ] iter {it+1} eik {eiks[-1]['eik']:.4f} "
                   f"loss {float(m['loss']):.4f}", flush=True)
-    return eiks
+
+    from vdnerf_tpu.models.fields import sdf_value
+
+    final_params = state["params"]
+
+    def neg_sdf(pts):
+        return -sdf_value(nets.sdf, final_params["sdf"], pts)[..., 0]
+
+    return eiks, sphere_mesh_chamfer(neg_sdf)
 
 
 def main(argv=None):
@@ -222,6 +263,9 @@ def main(argv=None):
     p.add_argument("--ramp-iters", type=int, default=150)
     p.add_argument("--max-freq", type=float, default=5.0)
     p.add_argument("--out", type=str, default="/tmp/wdepth_ab")
+    p.add_argument("--control", action="store_true",
+                   help="also run both stacks UNDISTILLED (same nets/init/"
+                        "schedule) so the Chamfer columns have a baseline")
     args = p.parse_args(argv)
 
     # CPU A/B: both stacks must run on the same host CPU — without this the
@@ -253,11 +297,27 @@ def main(argv=None):
 
     eik_every = max(args.iters // 24, 1)
     t0 = time.time()
-    ours = run_ours(sd, store, feat_maps, args, eik_every)
+    ours, ours_geom = run_ours(sd, store, feat_maps, args, eik_every)
     t_ours = time.time() - t0
     t0 = time.time()
-    theirs = run_torch(sd, store, feat_maps, args, eik_every)
+    theirs, theirs_geom = run_torch(sd, store, feat_maps, args, eik_every)
     t_torch = time.time() - t0
+    controls = {}
+    if args.control:
+        # undistilled controls: same nets/init/schedule, distillation off —
+        # the Chamfer columns need a baseline to call anything "degradation"
+        t0 = time.time()
+        _, ours_ctrl_geom = run_ours(
+            sd, store, feat_maps, args, eik_every, distill=False
+        )
+        t0 = time.time()
+        _, torch_ctrl_geom = run_torch(
+            sd, store, feat_maps, args, eik_every, distill=False
+        )
+        controls = {
+            "ours_undistilled_geometry": ours_ctrl_geom,
+            "torch_undistilled_geometry": torch_ctrl_geom,
+        }
 
     def pre_post(tr):
         pre = [e["eik"] for e in tr if e["iter"] <= args.start_iter]
@@ -273,16 +333,22 @@ def main(argv=None):
     report = {
         "config": vars(args),
         "ours": {"trajectory": ours, "eik_pre_distill": o_pre,
-                 "eik_post_distill": o_post, "wall_s": round(t_ours, 1)},
+                 "eik_post_distill": o_post, "geometry": ours_geom,
+                 "wall_s": round(t_ours, 1)},
         "torch_reference": {"trajectory": theirs, "eik_pre_distill": t_pre,
                             "eik_post_distill": t_post,
+                            "geometry": theirs_geom,
                             "wall_s": round(t_torch, 1)},
+        **controls,
     }
     with open(os.path.join(args.out, "wdepth_ab.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({
         "ours_eik_pre_post": [o_pre, o_post],
         "torch_eik_pre_post": [t_pre, t_post],
+        "ours_chamfer": ours_geom.get("chamfer"),
+        "torch_chamfer": theirs_geom.get("chamfer"),
+        **{k: v.get("chamfer") for k, v in controls.items()},
     }), flush=True)
     return report
 

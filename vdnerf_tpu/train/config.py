@@ -36,6 +36,12 @@ class TrainConfig:
     # ~13 ms step). The runner clips this to divide every report/save/val
     # cadence so observable behavior is unchanged.
     steps_per_call: int = 1
+    # cosine-lr horizon override (0 = end_iter, the reference schedule):
+    # clamps the cosine's end point independently of how long the run
+    # trains — steps past lr_end_iter hold the alpha*lr floor. Probe knob
+    # for the 25k-camlight plateau (the 25k leg's stretched cosine takes
+    # larger photometric steps late; docs/GEOMETRY_r03.md §2c).
+    lr_end_iter: int = 0
     # onset iteration for the importance-resampled render core
     # (neus_renderer.n_render_samples): before this iteration the runner
     # trains on the faithful full-width core. Resampling from iteration 0
@@ -90,6 +96,7 @@ class TrainConfig:
             grad_accum=t.get_int("grad_accum", default=1),
             steps_per_call=t.get_int("steps_per_call", default=1),
             resample_from=t.get_int("resample_from", default=0),
+            lr_end_iter=t.get_int("lr_end_iter", default=0),
             extract_depth=extract_depth,
             rgb_dims=t.get_int("rgb_dims", default=3) if extract_depth else 3,
             learnable=learnable,

@@ -21,7 +21,13 @@ def neus_lr_schedule(
     def schedule(step):
         step = jnp.asarray(step, dtype=jnp.float32)
         warm = step / jnp.maximum(warm_up_end, 1)
-        progress = (step - warm_up_end) / jnp.maximum(end_iter - warm_up_end, 1)
+        # clip: past the horizon (possible when TrainConfig.lr_end_iter
+        # clamps the cosine shorter than the run) hold the alpha*lr floor
+        # instead of letting cos(pi*progress) climb back up
+        progress = jnp.clip(
+            (step - warm_up_end) / jnp.maximum(end_iter - warm_up_end, 1),
+            0.0, 1.0,
+        )
         cos = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
         factor = jnp.where(step < warm_up_end, warm, cos)
         if warm_up_end == 0:

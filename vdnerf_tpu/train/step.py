@@ -181,7 +181,8 @@ def make_loss_fn(
 
 def make_optimizers(tcfg: TrainConfig):
     main_sched = neus_lr_schedule(
-        tcfg.learning_rate, tcfg.warm_up_end, tcfg.end_iter,
+        tcfg.learning_rate, tcfg.warm_up_end,
+        tcfg.lr_end_iter or tcfg.end_iter,
         tcfg.learning_rate_alpha,
     )
     main_opt = optax.adam(learning_rate=main_sched)
