@@ -283,7 +283,7 @@ def main():
     # importance-resampled render core at the masked recipe's width
     # (64 of 128, confs/wmask_tpu.conf), and the tuned mask-free
     # production combo (skip_bg_inside + 96-of-128 pure-uniform core,
-    # the commented operating point in confs/womsk_white_tpu.conf —
+    # the shipped operating point in confs/womsk_white_tpu.conf —
     # -0.09 dB iso-iteration, docs/RESAMPLE_AB_CPU.json womsk_floor_sweep)
     fast_modes = {}
     for label, kwargs in (
@@ -327,13 +327,14 @@ def main():
         )
     # each arm labeled with the configuration it measures (VERDICT r3 #6)
     out["arm_confs"] = {
-        "headline": "womsk_white_tpu.conf faithful (resample commented)",
+        "headline": "reference-faithful full-width core (womsk_white.conf "
+                    "semantics; the TPU confs ship resample ON)",
         "fast_bg": "womsk_white_tpu.conf (skip_bg_inside production mode)",
         "resample": "64-of-128 core width on the womsk_white workload "
                     "(diagnostic; no shipped conf pairs resample with bg "
                     "NeRF at frac 0.25)",
-        "fast_bg_resample": "womsk_white_tpu.conf tuned point "
-                            "(96-of-128 frac=1.0, shipped commented)",
+        "fast_bg_resample": "womsk_white_tpu.conf as shipped "
+                            "(skip_bg_inside + 96-of-128 frac=1.0)",
         "wmask": "wmask_tpu.conf as shipped (n_outside=0 + mask BCE + "
                  "64-of-128 core, post-onset program)",
     }
