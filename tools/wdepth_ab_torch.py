@@ -73,6 +73,27 @@ def ramp_weight(depth_iter, total):
     return float(1.0 / (np.exp(-10.0 * (depth_iter / total - 0.5)) + 1.0))
 
 
+def _grid_field(neg_sdf_fn, bb, resolution, chunk=64**3):
+    """Dense [-bb,bb]^3 grid eval of a HOST-CALLABLE ``pts [N,3] -> -sdf``
+    (torch, numpy, or jitted-jax alike — unlike mesh.extract_fields, which
+    wraps the query in jax.jit and so cannot take a torch module)."""
+    import numpy as np
+
+    xs = np.linspace(-bb, bb, resolution, dtype=np.float32)
+    total = resolution**3
+    yz = resolution * resolution
+    out = np.empty(total, np.float32)
+    for start in range(0, total, chunk):
+        stop = min(start + chunk, total)
+        idx = np.arange(start, stop)
+        pts = np.stack(
+            [xs[idx // yz], xs[(idx // resolution) % resolution],
+             xs[idx % resolution]], axis=-1,
+        )
+        out[start:stop] = np.asarray(neg_sdf_fn(pts)).reshape(-1)
+    return out.reshape(resolution, resolution, resolution)
+
+
 def sphere_mesh_chamfer(neg_sdf_fn, resolution=128):
     """Small-grid marching on the trained SDF + Chamfer vs the analytic
     r=0.5 sphere (VERDICT r3 #5: the A/B's geometry conclusion must rest on
@@ -80,22 +101,31 @@ def sphere_mesh_chamfer(neg_sdf_fn, resolution=128):
     anti-correlates with surface quality under distillation)."""
     import numpy as np
 
-    from vdnerf_tpu.mesh import extract_geometry, mesh_chamfer
+    from vdnerf_tpu.mesh import mesh_chamfer
+    from vdnerf_tpu.mesh.native import marching_cubes
 
     bb = 0.9
-    verts, tris = extract_geometry(
-        [-bb] * 3, [bb] * 3, resolution, 0.0, neg_sdf_fn
-    )
+
+    def march(fn):
+        u = _grid_field(fn, bb, resolution)
+        verts, tris = marching_cubes(u, 0.0)
+        if len(verts):
+            verts = verts / (resolution - 1.0) * (2 * bb) - bb
+        return verts, tris
+
+    verts, tris = march(neg_sdf_fn)
     if not len(verts):
         return {"n_verts": 0, "chamfer": None}
-    v_gt, t_gt = extract_geometry(
-        [-bb] * 3, [bb] * 3, resolution, 0.0,
-        lambda p: 0.5 - np.linalg.norm(np.asarray(p), axis=-1),
-    )
-    ch = mesh_chamfer(verts, tris, v_gt, t_gt, n_points=20_000)
+    v_gt, t_gt = march(lambda p: 0.5 - np.linalg.norm(p, axis=-1))
+    # 100k surface samples, same as mesh.qc.geometry_qc — the two-sampling
+    # noise floor is ~0.006 chamfer on this sphere (measured: identical
+    # surfaces at 20k points read 0.0125); report it alongside
+    ch = mesh_chamfer(verts, tris, v_gt, t_gt, n_points=100_000)
+    floor = mesh_chamfer(v_gt, t_gt, v_gt, t_gt, n_points=100_000)
     return {
         "n_verts": int(len(verts)),
         **{k: round(float(v), 5) for k, v in ch.items()},
+        "sampling_floor_chamfer": round(float(floor["chamfer"]), 5),
     }
 
 
@@ -248,11 +278,14 @@ def run_ours(sd, store, feat_maps, args, eik_every, distill=True):
     from vdnerf_tpu.models.fields import sdf_value
 
     final_params = state["params"]
-
-    def neg_sdf(pts):
-        return -sdf_value(nets.sdf, final_params["sdf"], pts)[..., 0]
-
-    return eiks, sphere_mesh_chamfer(neg_sdf)
+    # params as ARGUMENTS, not closure — closing over them makes XLA
+    # constant-fold the MLP (CLAUDE.md)
+    neg_sdf_j = jax.jit(
+        lambda ps, pts: -sdf_value(nets.sdf, ps, pts)[..., 0]
+    )
+    return eiks, sphere_mesh_chamfer(
+        lambda pts: neg_sdf_j(final_params["sdf"], pts)
+    )
 
 
 def main(argv=None):
