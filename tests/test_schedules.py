@@ -30,6 +30,24 @@ def test_neus_lr_no_warmup():
     np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
 
 
+def test_neus_lr_end_iter_clamp():
+    """TrainConfig.lr_end_iter clamps the cosine horizon shorter than the
+    run (the GEOMETRY_r04 §2c lr-stretch probe knob): the schedule is
+    IDENTICAL to the short-horizon schedule before the clamp (step.py:185
+    passes ``lr_end_iter or end_iter`` as the horizon), and holds the
+    alpha*lr floor — not cos climbing back up — after it."""
+    short = neus_lr_schedule(5e-4, warm_up_end=500, end_iter=12_000,
+                             alpha=0.05)
+    # past the horizon: pinned at the floor, for arbitrarily large steps
+    floor = 5e-4 * 0.05
+    for step in (12_000, 15_000, 25_000, 1_000_000):
+        np.testing.assert_allclose(float(short(step)), floor, rtol=1e-4)
+    # and monotone non-increasing after warmup (no cosine rebound)
+    steps = np.arange(500, 26_000, 250)
+    vals = np.array([float(short(s)) for s in steps])
+    assert np.all(np.diff(vals) <= 1e-12)
+
+
 def test_multistep_schedule():
     ms = pose_lr_milestones(warm_up_end=10, end_iter=50, step_size=10)
     assert ms == (10, 20, 30, 40)

@@ -263,3 +263,20 @@ def test_cycle_tool_conf_template(tmp_path):
         iters=60, batch=64, wdepth=True, dpt_dim=96, depth_start_iter=3,
     )
     assert load_conf(p).get_int("train.depth_start_iter") == 3
+
+    # lr_end_iter + igr_weight overrides (the §2c lr-clamp probe arm and
+    # the §5 eik-boost arms) land in the conf; defaults omit/keep them
+    p = m.write_conf_file(
+        os.path.join(d, "t_lr.conf"), os.path.join(d, "exp"), d,
+        iters=60, batch=64, wdepth=True, dpt_dim=96, lr_end_iter=30,
+        igr_weight=1.0,
+    )
+    conf = load_conf(p)
+    assert conf.get_int("train.lr_end_iter") == 30
+    assert conf.get_float("train.igr_weight") == 1.0
+    base = load_conf(m.write_conf_file(
+        os.path.join(d, "t_base.conf"), os.path.join(d, "exp"), d,
+        iters=60, batch=64, wdepth=True, dpt_dim=96,
+    ))
+    assert base.get_int("train.lr_end_iter", default=0) == 0
+    assert base.get_float("train.igr_weight") == 0.1
