@@ -555,7 +555,7 @@ def eik_boost_probe(args, scene_dir, wit):
                       "wdepth_depth_export_qc", "base_eikonal")
         }
     for w in args.eik_boost:
-        tag = f"w{w:g}".replace(".", "p")
+        tag = f"w{w:g}".replace(".", "p") + args.leg_tag
         exp_dir = os.path.join(args.out, f"exp_eikboost_{tag}")
         if os.path.exists(exp_dir):
             raise SystemExit(f"{exp_dir} already exists; delete it first")
@@ -589,7 +589,8 @@ def eik_boost_probe(args, scene_dir, wit):
               f"{report['arms'][f'igr_{w:g}']['geometry']['chamfer']}",
               flush=True)
         del runner
-    out_path = os.path.join(args.out, "eik_boost_report.json")
+    out_path = os.path.join(args.out,
+                            f"eik_boost_report{args.leg_tag}.json")
     with open(out_path, "w") as f:
         _json.dump(report, f, indent=2)
     print(_json.dumps({
@@ -661,9 +662,10 @@ def main(argv=None):
                         "confound from the onset confound in the 25k-"
                         "plateau schedule probe (GEOMETRY §2c)")
     p.add_argument("--leg-tag", type=str, default="",
-                   help="suffix for the --skip-to-wdepth leg's exp dir / "
-                        "conf / report names, so schedule variants of the "
-                        "same --wdepth-iters coexist in one --out")
+                   help="suffix for the --skip-to-wdepth leg's (or "
+                        "--eik-boost arms') exp dir / conf / report names, "
+                        "so schedule variants of the same --wdepth-iters "
+                        "or igr weight coexist in one --out")
     args = p.parse_args(argv)
 
     import numpy as np
