@@ -280,3 +280,14 @@ def test_cycle_tool_conf_template(tmp_path):
     ))
     assert base.get_int("train.lr_end_iter", default=0) == 0
     assert base.get_float("train.igr_weight") == 0.1
+    # the remaining leg-relative quantities (anneal iters//4, warmup
+    # iters//50) are overridable too — the §2c pinned-schedule arm
+    assert base.get_int("train.anneal_end") == 1000  # max(60//4, 1000)
+    assert base.get_int("train.warm_up_end") == 100
+    pinned = load_conf(m.write_conf_file(
+        os.path.join(d, "t_pin.conf"), os.path.join(d, "exp"), d,
+        iters=60, batch=64, wdepth=True, dpt_dim=96, anneal_end=12,
+        warm_up_end=5,
+    ))
+    assert pinned.get_int("train.anneal_end") == 12
+    assert pinned.get_int("train.warm_up_end") == 5

@@ -252,13 +252,15 @@ def geometry_qc(runner, scene_dir, resolution=512):
 def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
                     depth_weight_scale=1.0, dpt_dim=96,
                     depth_start_iter=None, lr_end_iter=None,
-                    igr_weight=0.1):
+                    igr_weight=0.1, anneal_end=None, warm_up_end=None):
     """Render BASE_CONF for one training leg (shared by the full cycle and
     the --skip-to-wdepth continuation). dpt_dim must match the wavelet
     encoder's feature width (96 for densenet, 32 for mobilenet_light).
     depth_start_iter defaults to the leg-relative iters//10 (the reference
     schedule); pass an absolute value to decouple the distillation onset
-    from the leg length (the 25k-plateau schedule probe)."""
+    from the leg length (the 25k-plateau schedule probe). anneal_end /
+    warm_up_end override the remaining leg-relative quantities (iters//4,
+    iters//50) for the same purpose — GEOMETRY_r04 §2c."""
     extra = ""
     if wdepth:
         start = iters // 10 if depth_start_iter is None else depth_start_iter
@@ -273,8 +275,11 @@ def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
         f.write(BASE_CONF.format(
             exp_dir=exp_dir, data_dir=scene_dir, iters=iters,
             igr_weight=igr_weight,
-            batch=batch, warm_up=max(iters // 50, 100),
-            anneal=max(iters // 4, 1000),
+            batch=batch,
+            warm_up=(max(iters // 50, 100) if warm_up_end is None
+                     else warm_up_end),
+            anneal=(max(iters // 4, 1000) if anneal_end is None
+                    else anneal_end),
             val_freq=iters // 2,
             extra_train=extra,
             nerf_extra=(f",\n        gen_depth_feats = True, "
@@ -365,6 +370,7 @@ def wdepth_leg_only(args, scene_dir, wit):
         dpt_dim=int(feats0.shape[1]),
         depth_start_iter=args.depth_start_iter,
         lr_end_iter=args.lr_end_iter,
+        anneal_end=args.anneal_end, warm_up_end=args.warm_up_end,
     )
     run_wdepth_leg(conf, exp_dir, scene_dir, wit, args.mesh_res, report)
     out_path = os.path.join(
@@ -655,6 +661,15 @@ def main(argv=None):
                         "measure eikonal + Chamfer + exported-depth error")
     p.add_argument("--eik-iters", type=int, default=3000,
                    help="extra iterations for each --eik-boost arm")
+    p.add_argument("--anneal-end", type=int, default=None,
+                   help="override the leg-relative cos-anneal horizon "
+                        "(default iters//4). The NeuS alpha-estimation "
+                        "anneal governs the formation phase — the last "
+                        "leg-relative quantity in the 25k-plateau probe "
+                        "(GEOMETRY_r04 §2c)")
+    p.add_argument("--warm-up-end", type=int, default=None,
+                   help="override the leg-relative lr warmup (default "
+                        "iters//50)")
     p.add_argument("--lr-end-iter", type=int, default=None,
                    help="clamp the cosine-lr horizon of the wdepth leg to "
                         "this iteration (train.lr_end_iter; steps past it "
