@@ -293,12 +293,17 @@ def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
     return path
 
 
-def run_wdepth_leg(conf_path, exp_dir, scene_dir, wit, mesh_res, report):
+def run_wdepth_leg(conf_path, exp_dir, scene_dir, wit, mesh_res, report,
+                   seed=0):
     """Stage 5 (distilled retrain): train through the real CLI, evaluate
     object-masked PSNR / eikonal / mesh geometry at the leg's final
     checkpoint, and parse the distillation-loss trajectory out of
     metrics.jsonl into ``report``. Shared by the full cycle and
-    --skip-to-wdepth so the two report flavors cannot silently diverge."""
+    --skip-to-wdepth so the two report flavors cannot silently diverge.
+    ``seed`` feeds the CLI's --seed (host pixel stream + init): every
+    archived arm so far is seed 0; non-zero seeds probe whether a
+    schedule recipe's formation outcome is seed-robust (GEOMETRY_r04 §2c
+    caveat)."""
     import json as _json
 
     import numpy as np
@@ -307,7 +312,7 @@ def run_wdepth_leg(conf_path, exp_dir, scene_dir, wit, mesh_res, report):
     from vdnerf_tpu.runner import Runner
 
     t5 = time.time()
-    cli_main(["--conf", conf_path, "--mode", "train"])
+    cli_main(["--conf", conf_path, "--mode", "train", "--seed", str(seed)])
     report["stages"]["train_wdepth_s"] = round(time.time() - t5, 1)
     runner = Runner(conf_path, mode="eval")
     runner.load_checkpoint_iter(wit)
@@ -372,7 +377,8 @@ def wdepth_leg_only(args, scene_dir, wit):
         lr_end_iter=args.lr_end_iter,
         anneal_end=args.anneal_end, warm_up_end=args.warm_up_end,
     )
-    run_wdepth_leg(conf, exp_dir, scene_dir, wit, args.mesh_res, report)
+    run_wdepth_leg(conf, exp_dir, scene_dir, wit, args.mesh_res, report,
+                   seed=args.seed)
     out_path = os.path.join(
         args.out, f"vdn_cycle_report_wdepth{wit}{tag}.json"
     )
@@ -503,7 +509,8 @@ def cycle2_legs(args, scene_dir, wit):
         depth_start_iter=args.depth_start_iter,
         lr_end_iter=args.lr_end_iter,
     )
-    run_wdepth_leg(conf, exp_c2, scene_dir, wit, args.mesh_res, report)
+    run_wdepth_leg(conf, exp_c2, scene_dir, wit, args.mesh_res, report,
+                   seed=args.seed)
     out_path = os.path.join(args.out, "vdn_cycle2_report.json")
     with open(out_path, "w") as f:
         _json.dump(report, f, indent=2)
@@ -681,6 +688,11 @@ def main(argv=None):
                         "--eik-boost arms') exp dir / conf / report names, "
                         "so schedule variants of the same --wdepth-iters "
                         "or igr weight coexist in one --out")
+    p.add_argument("--seed", type=int, default=0,
+                   help="--seed passed to the training CLI for the "
+                        "--skip-to-wdepth leg (host pixel stream + init). "
+                        "All archived arms are seed 0; use a non-zero seed "
+                        "to probe a recipe's seed-robustness")
     args = p.parse_args(argv)
 
     import numpy as np
