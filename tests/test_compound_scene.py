@@ -120,3 +120,59 @@ def test_compound_sdf_is_metric():
         d[ax] = eps
         g = (compound_sdf(pts + d) - compound_sdf(pts - d)) / (2 * eps)
         assert np.abs(g).max() <= 1.0 + 1e-3
+
+
+def test_arch_sdf_is_exact_union_metric():
+    """The arch SDF (second geometry family) is an exact-union metric:
+    unit-norm gradient outside the surface and a jnp twin that matches the
+    numpy source of truth (the Chamfer GT and the scene renderer share
+    these by construction)."""
+    import jax.numpy as jnp
+
+    from vdnerf_tpu.data.synthetic import GEOMETRIES, arch_sdf, arch_sdf_jnp
+
+    assert GEOMETRIES["arch"] == (arch_sdf, arch_sdf_jnp)
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(300, 3)) * 0.6
+    eps = 1e-5
+    for ax in range(3):
+        d = np.zeros(3)
+        d[ax] = eps
+        g = (arch_sdf(pts + d) - arch_sdf(pts - d)) / (2 * eps)
+        assert np.abs(g).max() <= 1.0 + 1e-3
+    np.testing.assert_allclose(
+        np.asarray(arch_sdf_jnp(jnp.asarray(pts))), arch_sdf(pts),
+        atol=1e-6,
+    )
+    # the whole zero set stays inside the unit sphere (scene convention)
+    on = pts[np.abs(arch_sdf(pts)) < 0.05]
+    assert len(on) and np.linalg.norm(on, axis=-1).max() < 1.0
+
+
+def test_arch_scene_layout_and_opening(tmp_path):
+    """geometry='arch' writes the same on-disk layout, and the arch's
+    see-through opening is visible: from a side-on camera there are
+    background pixels INSIDE the object silhouette's bbox (the compound
+    blob has no such hole at this view)."""
+    from vdnerf_tpu.data.synthetic import look_at_pose, render_compound_image
+
+    out = str(tmp_path / "arch")
+    make_compound_scene(out, n_images=2, H=48, W=48, background="textured",
+                        geometry="arch")
+    img = cv.imread(os.path.join(out, "image", "000.png"), -1)
+    assert img.shape == (48, 48, 3)
+    ev = cv.imread(os.path.join(out, "image", "eval_mask", "000.png"), 0)
+    assert 0.05 < (ev > 127).mean() < 0.95
+
+    # side-on view (y axis ~ the arch plane normal): the under-beam window
+    H = W = 96
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 1.4 * W
+    K[0, 2] = W / 2.0
+    K[1, 2] = H / 2.0
+    c2w = look_at_pose(np.array([0.0, 2.2, 0.0]), np.zeros(3))
+    rgba = render_compound_image(c2w, K, H, W, geometry="arch")
+    m = rgba[..., 3] > 127
+    ys, xs = np.nonzero(m)
+    inner = ~m[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+    assert inner.mean() > 0.05, "no opening visible in the silhouette bbox"

@@ -86,6 +86,10 @@ def main(argv=None):
                    help="'camlight' = light co-located with the camera + "
                         "specular: the view-dependent-radiance setting "
                         "(shape-radiance ambiguity) the VDN paper targets")
+    p.add_argument("--geometry", choices=["compound", "arch"],
+                   default="compound",
+                   help="analytic scene geometry (data/synthetic.py "
+                        "GEOMETRIES); the Chamfer ground truth follows it")
     p.add_argument("--feat-max-freq", type=float, default=5.0,
                    help="wdepth teacher-feature top frequency (rad per depth "
                         "unit); ~5 matches the smoothness of real wavelet-"
@@ -138,7 +142,7 @@ def main(argv=None):
     make_compound_scene(
         args.out, n_images=args.views, H=args.img_res, W=args.img_res,
         background="textured" if womsk else "white",
-        shading=args.shading,
+        shading=args.shading, geometry=args.geometry,
     )
     print(f"scene: {args.views} views {args.img_res}^2 "
           f"({args.train_mode}, {args.shading}) rendered in "
@@ -160,7 +164,9 @@ def main(argv=None):
         # reference dpt_runner.py getfeats -> wavelet predict). A stand-in
         # for the wavelet net's 96-ch statistics with the same loss path,
         # schedule, and store-side normalization.
-        from vdnerf_tpu.data.synthetic import _sphere_trace
+        from vdnerf_tpu.data.synthetic import GEOMETRIES, _sphere_trace
+
+        scene_sdf = GEOMETRIES[args.geometry][0]
 
         fH, fW = args.img_res // 2, args.img_res // 2
         feat_dir = os.path.join(args.out, "image", "00")
@@ -181,7 +187,7 @@ def main(argv=None):
             d /= np.linalg.norm(d, axis=-1, keepdims=True)
             d = d @ c2w[:3, :3].T
             o = np.broadcast_to(c2w[:3, 3], d.shape)
-            t, hit = _sphere_trace(o, d, 0.05, 4.0)
+            t, hit = _sphere_trace(o, d, 0.05, 4.0, sdf=scene_sdf)
             depth = np.where(hit, t, 3.0)
             feats = np.concatenate(
                 [np.sin(depth[None] * freqs[:, None, None]),
@@ -496,11 +502,12 @@ def main(argv=None):
     # the scene renderer — vdnerf_tpu/data/synthetic.py); the extract ->
     # clean -> Chamfer sequence is the shared vdnerf_tpu.mesh.qc helper so
     # this tool and the VDN cycle measure geometry identically
-    from vdnerf_tpu.data.synthetic import compound_sdf_jnp
+    from vdnerf_tpu.data.synthetic import GEOMETRIES
     from vdnerf_tpu.mesh.qc import geometry_qc
 
+    gt_sdf_jnp = GEOMETRIES[args.geometry][1]
     qc = geometry_qc(
-        neg_sdf, lambda p: -compound_sdf_jnp(p),
+        neg_sdf, lambda p: -gt_sdf_jnp(p),
         sd.object_bbox_min, sd.object_bbox_max, args.resolution,
         eval_masks, world_mats,
         ply_prefix=os.path.join(args.out, "flagship_mesh"),
@@ -527,6 +534,7 @@ def main(argv=None):
             ),
             "train_mode": args.train_mode,
             "shading": args.shading,
+            "geometry": args.geometry,
             "learn_cameras": args.learn,
             "learn_frozen_control": args.learn_frozen,
             "bf16": not args.fp32, "fused_mlp": args.fused,

@@ -114,6 +114,12 @@ DEPTH_BLOCK = """\
 """
 
 
+# analytic scene geometry for this process's QC ground truths; set once in
+# main() from --geometry (module-level so the leg helpers that share a
+# Runner don't each thread it through their signatures)
+_GEOMETRY = "compound"
+
+
 def object_masked_psnr(runner, scene_dir, n_views=4, res_level=2):
     """Masked PSNR (+ mean eikonal error) over the TRUE object masks
     (eval_mask/, metrics-only — training uses the womsk dummy white
@@ -159,8 +165,9 @@ def depth_export_qc(runner, scene_dir, n_views=4, res_level=2):
     import numpy as np
 
     from vdnerf_tpu.data.cameras import rays_grid
-    from vdnerf_tpu.data.synthetic import _sphere_trace
+    from vdnerf_tpu.data.synthetic import GEOMETRIES, _sphere_trace
 
+    gt_sdf = GEOMETRIES[_GEOMETRY][0]
     sd = runner.scene_data
     poses, intrin_inv = runner.renderer.resolve_cams(runner.state["cams"])
     abs_errs, rel_errs = [], []
@@ -176,7 +183,8 @@ def depth_export_qc(runner, scene_dir, n_views=4, res_level=2):
         ro = np.asarray(ro, np.float64)
         rd = np.asarray(rd, np.float64)
         cam_dist = float(np.linalg.norm(poses[idx][:3, 3]))
-        t, hit = _sphere_trace(ro, rd, cam_dist - 1.0, cam_dist + 1.0)
+        t, hit = _sphere_trace(ro, rd, cam_dist - 1.0, cam_dist + 1.0,
+                               sdf=gt_sdf)
         stem = os.path.splitext(os.path.basename(sd.images_lis[idx]))[0]
         m = cv.imread(
             os.path.join(scene_dir, "image", "eval_mask", f"{stem}.png"), 0
@@ -215,10 +223,11 @@ def geometry_qc(runner, scene_dir, resolution=512):
     import cv2 as cv
     import numpy as np
 
-    from vdnerf_tpu.data.synthetic import compound_sdf_jnp
+    from vdnerf_tpu.data.synthetic import GEOMETRIES
     from vdnerf_tpu.mesh.qc import geometry_qc as run_qc
     from vdnerf_tpu.models.fields import sdf_value
 
+    gt_sdf_jnp = GEOMETRIES[_GEOMETRY][1]
     sd = runner.scene_data
     params = runner.state["params"]
     nets = runner.nets
@@ -234,7 +243,7 @@ def geometry_qc(runner, scene_dir, resolution=512):
         )
         eval_masks.append((m > 127).astype(np.uint8))
     qc = run_qc(
-        neg_sdf, lambda p: -compound_sdf_jnp(p),
+        neg_sdf, lambda p: -gt_sdf_jnp(p),
         sd.object_bbox_min, sd.object_bbox_max, resolution,
         np.stack(eval_masks), np.stack(sd.world_mats_np),
     )
@@ -643,6 +652,12 @@ def main(argv=None):
                    help="'camlight' = light co-located with the camera + "
                         "specular (the dynamic-lighting shape-radiance-"
                         "ambiguity setting the VDN paper targets)")
+    p.add_argument("--geometry", choices=["compound", "arch"],
+                   default="compound",
+                   help="analytic scene geometry (data/synthetic.py "
+                        "GEOMETRIES): 'arch' is a second shape family "
+                        "(see-through opening + concave overhang) for "
+                        "generality arms; also the scene/case dir name")
     p.add_argument("--mesh-res", type=int, default=512,
                    help="geometry-QC grid resolution for both legs")
     p.add_argument("--depth-weight-scale", type=float, default=1.0,
@@ -705,7 +720,9 @@ def main(argv=None):
     from vdnerf_tpu.data.synthetic import make_compound_scene
     from vdnerf_tpu.runner import Runner
 
-    case = "compound"
+    global _GEOMETRY
+    _GEOMETRY = args.geometry
+    case = args.geometry
     scene_dir = os.path.join(args.out, case)
     wit = args.wdepth_iters or args.iters
     if args.skip_to_wdepth:
@@ -729,7 +746,7 @@ def main(argv=None):
     t0 = time.time()
     make_compound_scene(scene_dir, n_images=args.views, H=args.img_res,
                         W=args.img_res, background="textured",
-                        shading=args.shading)
+                        shading=args.shading, geometry=args.geometry)
     # the wavelet NeusDataset reads OBJECT masks from <case>/mask/ (3-ch
     # PNGs, reference data.py:332 — real captures ship them there even for
     # womsk runs; background pixels get the depth-200 rule). The compound

@@ -188,11 +188,105 @@ def compound_sdf_jnp(pts):
     return jnp.minimum(jnp.minimum(sphere, torus), bump)
 
 
-def _compound_normal(pts: np.ndarray, eps: float = 1e-4) -> np.ndarray:
+# -- second analytic geometry: "arch" (slab + two pillars + beam + knob) -----
+#
+# A qualitatively different shape family from the compound scene: an arch
+# with a genuine see-through opening between the pillars and a concave
+# under-beam region (overhang), plus an off-axis knob that breaks the x/y
+# symmetries. Union of EXACT primitive SDFs (rounded box, capsules, sphere),
+# so min() is the exact union distance outside the surface — the same
+# property the compound scene relies on for sphere tracing and for the
+# Chamfer ground-truth zero set. Everything fits well inside the unit
+# sphere (max extent ~0.75).
+
+ARCH_SLAB_C = (0.0, 0.0, -0.32)
+ARCH_SLAB_B = (0.46, 0.30, 0.07)  # half-extents before rounding
+ARCH_SLAB_ROUND = 0.04
+ARCH_PILLAR_R = 0.11
+ARCH_PILLAR_A = ((-0.30, 0.0, -0.30), (-0.30, 0.0, 0.34))
+ARCH_PILLAR_B = ((0.30, 0.0, -0.30), (0.30, 0.0, 0.34))
+ARCH_BEAM = ((-0.32, 0.0, 0.38), (0.32, 0.0, 0.38))
+ARCH_BEAM_R = 0.12
+ARCH_KNOB_C = (0.0, -0.24, 0.02)
+ARCH_KNOB_R = 0.15
+
+
+def _capsule_sdf_np(p: np.ndarray, a, b, r: float) -> np.ndarray:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    pa = p - a
+    ba = b - a
+    h = np.clip((pa @ ba) / float(ba @ ba), 0.0, 1.0)
+    return np.linalg.norm(pa - ba * h[..., None], axis=-1) - r
+
+
+def arch_sdf(pts: np.ndarray) -> np.ndarray:
+    """Exact union SDF of the arch scene (see constants above)."""
+    p = np.asarray(pts, dtype=np.float64)
+    q = np.abs(p - np.asarray(ARCH_SLAB_C)) - np.asarray(ARCH_SLAB_B)
+    slab = (
+        np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+        + np.minimum(np.max(q, axis=-1), 0.0)
+        - ARCH_SLAB_ROUND
+    )
+    pil_a = _capsule_sdf_np(p, *ARCH_PILLAR_A, ARCH_PILLAR_R)
+    pil_b = _capsule_sdf_np(p, *ARCH_PILLAR_B, ARCH_PILLAR_R)
+    beam = _capsule_sdf_np(p, *ARCH_BEAM, ARCH_BEAM_R)
+    knob = (
+        np.linalg.norm(p - np.asarray(ARCH_KNOB_C), axis=-1) - ARCH_KNOB_R
+    )
+    return np.minimum.reduce([slab, pil_a, pil_b, beam, knob])
+
+
+def arch_sdf_jnp(pts):
+    """jnp twin of :func:`arch_sdf` (same constants)."""
+    import jax.numpy as jnp
+
+    def capsule(a, b, r):
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        pa = pts - a
+        ba = b - a
+        h = jnp.clip((pa @ ba) / (ba @ ba), 0.0, 1.0)
+        return jnp.linalg.norm(pa - ba * h[..., None], axis=-1) - r
+
+    q = jnp.abs(pts - jnp.asarray(ARCH_SLAB_C)) - jnp.asarray(ARCH_SLAB_B)
+    slab = (
+        jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+        + jnp.minimum(jnp.max(q, axis=-1), 0.0)
+        - ARCH_SLAB_ROUND
+    )
+    knob = (
+        jnp.linalg.norm(pts - jnp.asarray(ARCH_KNOB_C), axis=-1)
+        - ARCH_KNOB_R
+    )
+    return jnp.minimum(
+        jnp.minimum(
+            jnp.minimum(slab, capsule(*ARCH_PILLAR_A, ARCH_PILLAR_R)),
+            jnp.minimum(
+                capsule(*ARCH_PILLAR_B, ARCH_PILLAR_R),
+                capsule(*ARCH_BEAM, ARCH_BEAM_R),
+            ),
+        ),
+        knob,
+    )
+
+
+# name -> (numpy sdf, jnp sdf): the single lookup the scene renderer, the
+# cycle/flagship QC ground truths, and the depth-export QC all share.
+GEOMETRIES = {
+    "compound": (compound_sdf, compound_sdf_jnp),
+    "arch": (arch_sdf, arch_sdf_jnp),
+}
+
+
+def _compound_normal(
+    pts: np.ndarray, eps: float = 1e-4, sdf=compound_sdf
+) -> np.ndarray:
     n = np.stack(
         [
-            compound_sdf(pts + np.eye(3)[i] * eps)
-            - compound_sdf(pts - np.eye(3)[i] * eps)
+            sdf(pts + np.eye(3)[i] * eps)
+            - sdf(pts - np.eye(3)[i] * eps)
             for i in range(3)
         ],
         axis=-1,
@@ -202,15 +296,15 @@ def _compound_normal(pts: np.ndarray, eps: float = 1e-4) -> np.ndarray:
 
 def _sphere_trace(
     rays_o: np.ndarray, rays_d: np.ndarray, t0: float, t1: float,
-    n_steps: int = 192, eps: float = 5e-5,
+    n_steps: int = 192, eps: float = 5e-5, sdf=compound_sdf,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized sphere tracing of ``compound_sdf``: (t, hit)."""
+    """Vectorized sphere tracing of an exact analytic SDF: (t, hit)."""
     t = np.full(rays_o.shape[:-1], t0, dtype=np.float64)
     hit = np.zeros(rays_o.shape[:-1], dtype=bool)
     active = np.ones_like(hit)
     for _ in range(n_steps):
         pts = rays_o + rays_d * t[..., None]
-        d = compound_sdf(pts)
+        d = sdf(pts)
         newly_hit = active & (d < eps)
         hit |= newly_hit
         active &= ~newly_hit
@@ -246,8 +340,13 @@ def render_compound_image(
     background: str = "white",
     bg_radius: float = 4.0,
     shading: str = "fixed",
+    geometry: str = "compound",
 ) -> np.ndarray:
-    """Analytic RGBA render (uint8) of the shaded compound object.
+    """Analytic RGBA render (uint8) of the shaded analytic object.
+
+    geometry selects the analytic SDF family from :data:`GEOMETRIES`
+    ('compound' = sphere+torus+bump; 'arch' = slab+pillars+beam+knob, a
+    shape with a see-through opening and a concave overhang).
 
     background='white': miss pixels are pure white (adversarial for
     mask-free training — see CLAUDE.md). background='textured': miss rays
@@ -274,10 +373,11 @@ def render_compound_image(
     d = d @ c2w[:3, :3].T
     o = np.broadcast_to(c2w[:3, 3], d.shape)
 
+    sdf = GEOMETRIES[geometry][0]
     cam_dist = float(np.linalg.norm(c2w[:3, 3]))
-    t, hit = _sphere_trace(o, d, cam_dist - 1.0, cam_dist + 1.0)
+    t, hit = _sphere_trace(o, d, cam_dist - 1.0, cam_dist + 1.0, sdf=sdf)
     pts = o + d * t[..., None]
-    normal = _compound_normal(pts)
+    normal = _compound_normal(pts, sdf=sdf)
     albedo = 0.5 + 0.5 * normal  # normal-colored: real texture everywhere
     if shading == "camlight":
         # view direction from surface point back to the camera == light dir
@@ -318,6 +418,7 @@ def make_compound_scene(
     img_dir: str = "image",
     background: str = "white",
     shading: str = "fixed",
+    geometry: str = "compound",
 ) -> dict:
     """Write a nontrivial analytic scene in the reference's on-disk layout.
 
@@ -360,7 +461,8 @@ def make_compound_scene(
         c2w = look_at_pose(eye, np.zeros(3))
         poses.append(c2w)
         rgba = render_compound_image(
-            c2w, K, H, W, background=background, shading=shading
+            c2w, K, H, W, background=background, shading=shading,
+            geometry=geometry,
         )
         stem = f"{i:03d}"
         if textured:
@@ -388,6 +490,7 @@ def make_compound_scene(
         "W": W,
         "poses": np.stack(poses),
         "K": K,
+        "geometry": geometry,
     }
 
 
