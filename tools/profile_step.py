@@ -185,6 +185,17 @@ def main(argv=None):
         return x * 1.000001 + 1e-20 * jnp.mean(c)
     timed("color_net_128spp", color_q, pts128,
           consts=(dirs128, feat, params["color"]))
+    if args.render_samples and args.render_samples != n_s + n_imp:
+        # the resampled core's with-gradient widths (the program the shipped
+        # TPU confs run post-onset): same queries at B*n_render_samples rows
+        n_rs = args.render_samples
+        pts_rs = jax.random.normal(key, (B * n_rs, 3)) * 0.5
+        dirs_rs = pts_rs / jnp.linalg.norm(pts_rs, axis=-1, keepdims=True)
+        feat_rs = jax.random.normal(key, (B * n_rs, nets.color.d_feature))
+        timed(f"sdf_valgradfeat_{n_rs}spp", core_q, pts_rs,
+              consts=(params["sdf"],))
+        timed(f"color_net_{n_rs}spp", color_q, pts_rs,
+              consts=(dirs_rs, feat_rs, params["color"]))
     # 4. background NeRF over 160 samples
     def nerf_q(x, ps):
         d, c, _ = nerf_apply(nets.nerf, ps, x,
@@ -431,6 +442,12 @@ def main(argv=None):
         "color_fwdbwd_128spp": n_core * color_f * 3.0,
         "bg_nerf_fwdbwd_160spp": B * (n_s + n_imp + n_out) * nerf_f * 3.0,
     })
+    if args.render_samples and args.render_samples != n_s + n_imp:
+        n_rs_rows = B * args.render_samples
+        flops[f"sdf_valgradfeat_{args.render_samples}spp"] = (
+            n_rs_rows * sdf_f * 4
+        )
+        flops[f"color_net_{args.render_samples}spp"] = n_rs_rows * color_f
     for k, v in extra_flops.items():
         flops[k] = v * nerf_f if k.startswith("nerf_rows") else v
     # derived backward-only numbers (fwd+bwd minus the forward component)
