@@ -343,6 +343,15 @@ def main(argv=None):
         timed("bg_nerf_fwdbwd_160spp", fwdbwd(nerf_scalar), pts160,
               consts=(params["nerf"],))
 
+        if args.render_samples and args.render_samples != n_s + n_imp:
+            # fwd+bwd at the resampled-core width: the with-gradient
+            # program the shipped TPU confs actually run post-onset
+            n_rs = args.render_samples
+            timed(f"sdf_vgf_fwdbwd2nd_{n_rs}spp", fwdbwd(sdf_vgf_scalar),
+                  pts_rs, consts=(params["sdf"],))
+            timed(f"color_fwdbwd_{n_rs}spp", fwdbwd(color_scalar),
+                  pts_rs, consts=(params["color"], dirs_rs, feat_rs))
+
         # full loss forward-only (render + all losses, no grad, no adam)
         from vdnerf_tpu.train.step import make_loss_fn
 
@@ -448,6 +457,12 @@ def main(argv=None):
             n_rs_rows * sdf_f * 4
         )
         flops[f"color_net_{args.render_samples}spp"] = n_rs_rows * color_f
+        flops[f"sdf_vgf_fwdbwd2nd_{args.render_samples}spp"] = (
+            n_rs_rows * sdf_f * 4 * 3.0
+        )
+        flops[f"color_fwdbwd_{args.render_samples}spp"] = (
+            n_rs_rows * color_f * 3.0
+        )
     for k, v in extra_flops.items():
         flops[k] = v * nerf_f if k.startswith("nerf_rows") else v
     # derived backward-only numbers (fwd+bwd minus the forward component)
@@ -460,6 +475,12 @@ def main(argv=None):
         "full_bwd_plus_adam": ("full_train_step", "full_loss_fwd_only"),
         "eikonal_2nd_order_cost": ("full_train_step", "full_step_igr0"),
     }
+    if args.render_samples and args.render_samples != n_s + n_imp:
+        rs = args.render_samples
+        pairs[f"sdf_vgf_bwd_{rs}spp"] = (
+            f"sdf_vgf_fwdbwd2nd_{rs}spp", f"sdf_valgradfeat_{rs}spp")
+        pairs[f"color_bwd_{rs}spp"] = (
+            f"color_fwdbwd_{rs}spp", f"color_net_{rs}spp")
     for name, (a, b) in pairs.items():
         if a in results and b in results:
             derived[name] = round(results[a] - results[b], 3)
