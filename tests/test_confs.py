@@ -85,3 +85,31 @@ def test_womsk_tpu_recipe():
             ref["model"]["neus_renderer"][key]
     assert conf["model"]["sdf_network"].to_dict() == \
         ref["model"]["sdf_network"].to_dict()
+
+
+def test_wdepth_tpu_recipe():
+    conf = _load(os.path.join(CONF_DIR, "womsk_white_wdepth_tpu.conf"))
+    tcfg = TrainConfig.from_conf(conf)
+    nets = build_networks(conf, tcfg.extract_depth)
+    # the distillation leg, with the knobs its at-scale evidence covers:
+    assert tcfg.extract_depth and not tcfg.use_mask
+    # every r3/r4 cycle trained its wdepth leg with fast-bg ON
+    # (tools/vdn_cycle_run.py BASE_CONF; docs/VDN_CYCLE_r04_*.json)
+    assert nets.renderer.skip_bg_inside
+    # round-4 dose-response operating point (GEOMETRY_r04 section 6:
+    # arch w=10 Chamfer 0.0098 watertight where w=3 leaves 0.162;
+    # camlight safety arm 0.0124 -> 0.0092 — monotone on both families)
+    assert tcfg.depth_loss_scale == 10
+    # the resampled core has NO wdepth-regime convergence evidence —
+    # the conf must not ship it until an at-scale distillation run does
+    # (the round-3 verdict's missing-#1 lesson)
+    assert nets.renderer.n_render_samples == 0
+    # reference-parity schedule anchors (dpt_runner.py:167-171 fixed ramp)
+    assert tcfg.depth_start_iter == 5000
+    # identical model dims to the reference's womsk_white_wdepth.conf
+    ref = _load(os.path.join(CONF_DIR, "womsk_white_wdepth.conf"))
+    assert conf["model"]["sdf_network"].to_dict() == \
+        ref["model"]["sdf_network"].to_dict()
+    assert conf["model"]["depth_extract_network"].to_dict() == \
+        ref["model"]["depth_extract_network"].to_dict()
+    assert conf["model"]["nerf"].to_dict() == ref["model"]["nerf"].to_dict()
