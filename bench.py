@@ -32,7 +32,7 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
                 bf16: bool = True, grad_accum: int = 1,
                 fast_bg: bool = False, render_samples: int = 0,
                 uniform_frac: float | None = None,
-                wmask_shape: bool = False):
+                wmask_shape: bool = False, wdepth_shape: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,7 +53,12 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
     from vdnerf_tpu.train import SceneStatic, TrainConfig, init_state
     from vdnerf_tpu.train.step import make_train_scan_step
 
-    nets, params, _ = _full_size_setup(batch=batch_size, small=False)
+    # wdepth_shape: the confs/womsk_white_wdepth_tpu.conf step — the 96-ch
+    # depth head + NeRF dpt head in the render, and the masked feature-MSE
+    # distillation loss (scale 10, the shipped dose-response point) in the
+    # backward. Combine with fast_bg=True for the conf's skip_bg_inside.
+    nets, params, _ = _full_size_setup(batch=batch_size, small=False,
+                                       with_depth=wdepth_shape)
     if wmask_shape:
         # the exact confs/wmask_tpu.conf model + loss shape: no background
         # NeRF (n_outside=0; the runner still builds + optimizes the nerf
@@ -83,8 +88,13 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
             nets,
             renderer=dataclasses.replace(nets.renderer, **renderer_kwargs),
         )
+    depth_kwargs = dict(
+        extract_depth=True, depth_start_iter=0, depth_ramp_iters=1,
+        depth_weight=0.2, depth_loss_scale=10.0,
+    ) if wdepth_shape else {}
     tcfg = TrainConfig(batch_size=batch_size, use_mask=wmask_shape,
-                       mask_weight=0.1 if wmask_shape else 0.0)
+                       mask_weight=0.1 if wmask_shape else 0.0,
+                       **depth_kwargs)
     H = W = 256
     n_images = 4
     K = np.eye(4)
@@ -131,7 +141,9 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
             "pixels_y": py,
             "color": images[ii, py, px],
             "mask": masks[ii, py, px],
-            "feats": np.zeros((k, batch_size, 1), np.float32),
+            "feats": rng.uniform(
+                0, 1, (k, batch_size, 96 if wdepth_shape else 1)
+            ).astype(np.float32),
         }
 
     # warm up with a full-length window so the compile is reused verbatim
@@ -269,7 +281,9 @@ def main():
     import os
 
     t_extras = time.time()
-    extras_budget = float(os.environ.get("VDNERF_BENCH_EXTRAS_S", "600"))
+    # budget sized for 5 train-shape arms + 2 render arms (~1.5-2 min of
+    # remote compile each); the final JSON line prints regardless
+    extras_budget = float(os.environ.get("VDNERF_BENCH_EXTRAS_S", "720"))
 
     def _over_budget(label):
         if time.time() - t_extras > extras_budget:
@@ -294,6 +308,10 @@ def main():
         # the true shipped wmask_tpu.conf step: n_outside=0 + mask BCE +
         # the 64-of-128 resampled core (post-onset program)
         ("wmask", dict(wmask_shape=True, render_samples=64)),
+        # the true shipped womsk_white_wdepth_tpu.conf step: 96-ch depth
+        # head + distillation MSE (scale 10) + skip_bg_inside, full-width
+        # core (the conf deliberately ships no resample)
+        ("wdepth", dict(wdepth_shape=True, fast_bg=True)),
     ):
         if _over_budget(label):
             continue
@@ -337,6 +355,9 @@ def main():
                             "(skip_bg_inside + 96-of-128 frac=1.0)",
         "wmask": "wmask_tpu.conf as shipped (n_outside=0 + mask BCE + "
                  "64-of-128 core, post-onset program)",
+        "wdepth": "womsk_white_wdepth_tpu.conf as shipped (96-ch depth "
+                  "head + scale-10 distillation loss + skip_bg_inside, "
+                  "full-width core)",
     }
     for label, kwargs in (("render", {}),
                           ("render_resample", dict(render_samples=64))):
