@@ -90,6 +90,13 @@ def main(argv=None):
                    default="compound",
                    help="analytic scene geometry (data/synthetic.py "
                         "GEOMETRIES); the Chamfer ground truth follows it")
+    p.add_argument("--depth-loss-scale", type=float, default=1.0,
+                   help="wdepth distillation-loss multiplier "
+                        "(train.depth_loss_scale). The shipped "
+                        "womsk_white_wdepth_tpu.conf operating point is 10 "
+                        "(GEOMETRY_r04 section 6 dose-response); default "
+                        "stays 1.0 so earlier FLAGSHIP_* wdepth artifacts "
+                        "remain comparable")
     p.add_argument("--feat-max-freq", type=float, default=5.0,
                    help="wdepth teacher-feature top frequency (rad per depth "
                         "unit); ~5 matches the smoothness of real wavelet-"
@@ -228,6 +235,7 @@ def main(argv=None):
         # 5000-iter sigmoid ramp; same early-fraction schedule here
         depth_start_iter=args.iters // 10 if wdepth else 0,
         depth_ramp_iters=max(args.iters // 10, 1) if wdepth else 5000,
+        depth_loss_scale=args.depth_loss_scale if wdepth else 1.0,
     )
     if args.learn and args.learn_frozen:
         raise SystemExit("--learn and --learn-frozen are mutually exclusive "
@@ -542,6 +550,7 @@ def main(argv=None):
             "render_samples": args.render_samples,
             "resample_from": args.resample_from,
             "resample_frac": args.resample_frac,
+            "depth_loss_scale": args.depth_loss_scale if wdepth else None,
         },
         "train_wall_s": round(train_wall, 1),
         "startup_compile_s": round(startup_s, 1) if startup_s else None,
