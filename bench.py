@@ -54,9 +54,10 @@ def bench_train(batch_size: int, n_warmup: int = 3, n_steps: int = 200,
     from vdnerf_tpu.train.step import make_train_scan_step
 
     # wdepth_shape: the confs/womsk_white_wdepth_tpu.conf step — the 96-ch
-    # depth head + NeRF dpt head in the render, and the masked feature-MSE
-    # distillation loss (scale 10, the shipped dose-response point) in the
-    # backward. Combine with fast_bg=True for the conf's skip_bg_inside.
+    # depth head + NeRF dpt head in the render, and the masked feature-L1
+    # distillation loss (scale 10, the shipped dose-response point; L1 as
+    # in the reference's F.l1_loss, dpt_runner.py:241) in the backward.
+    # Combine with fast_bg=True for the conf's skip_bg_inside.
     nets, params, _ = _full_size_setup(batch=batch_size, small=False,
                                        with_depth=wdepth_shape)
     if wmask_shape:
@@ -309,8 +310,8 @@ def main():
         # the 64-of-128 resampled core (post-onset program)
         ("wmask", dict(wmask_shape=True, render_samples=64)),
         # the true shipped womsk_white_wdepth_tpu.conf step: 96-ch depth
-        # head + distillation MSE (scale 10) + skip_bg_inside, full-width
-        # core (the conf deliberately ships no resample)
+        # head + masked feature-L1 distillation loss (scale 10) +
+        # skip_bg_inside, full-width core
         ("wdepth", dict(wdepth_shape=True, fast_bg=True)),
     ):
         if _over_budget(label):
