@@ -108,6 +108,27 @@ def test_camlight_shading_is_view_dependent():
     assert fixed_diff <= 25, fixed_diff  # pixel-grid tolerance
     assert cam_diff > fixed_diff + 25, (fixed_diff, cam_diff)
 
+    # 'glossy' (fixed light + sharp Blinn-Phong lobe): highlights slide
+    # across the surface with the camera, so SOME visible point must change
+    # radiance strongly between views even though the light is static
+    # (VERDICT r4 stretch #8 — the third view-dependence axis)
+    from vdnerf_tpu.data.synthetic import render_compound_image as _rci
+
+    img_a = _rci(c2w_a, K, H, W, background="white", shading="glossy")
+    img_b = _rci(c2w_b, K, H, W, background="white", shading="glossy")
+    glossy_pt_diff = np.abs(
+        color_at(c2w_a, "glossy") - color_at(c2w_b, "glossy")
+    ).max()
+    # at least one of: the probed point's radiance moved, or the global
+    # highlight structure differs far beyond the fixed-shading baseline
+    hit_both = (img_a[..., 3] == 255) & (img_b[..., 3] == 255)
+    assert glossy_pt_diff > 10 or (
+        np.abs(img_a[..., :3].astype(float)
+               - img_b[..., :3].astype(float))[hit_both].max() > 80
+    ), glossy_pt_diff
+    # and the specular term actually produces near-saturated highlights
+    assert (img_a[..., :3][img_a[..., 3] == 255].max() > 240)
+
 
 def test_compound_sdf_is_metric():
     """|sdf| is a lower bound on the distance to the zero set; gradient has

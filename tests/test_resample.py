@@ -436,3 +436,71 @@ def test_conf_exposes_resample_knobs():
     nets = build_networks(conf, extract_depth=False)
     assert nets.renderer.n_render_samples == 6
     assert nets.renderer.resample_uniform_frac == 0.5
+
+
+def test_pose_gradients_compose_with_resample():
+    """VERDICT r4 #2 open question: does the resampled core compose with
+    POSE gradients (learned cameras)? Both paths stop-gradient their z
+    positions — the faithful ladder's (renderer.py up-sample chain) and the
+    resampled core's — and pose gradients flow through rays_o/rays_d into
+    the sample points, so the composition must hold. Pin it: the resampled
+    core's pose gradient is finite, nonzero, and direction-agrees with the
+    faithful core's (the r03 gradient-agreement methodology, PERF_r03 §4)."""
+    from vdnerf_tpu.data.cameras import (
+        init_pose_params,
+        learn_pose_c2w,
+        pixels_to_rays,
+    )
+    from vdnerf_tpu.data.dataset import near_far_from_sphere
+
+    nets_fast, params = resampled_nets(n_render_samples=24, frac=1.0)
+    nets_faithful = dataclasses.replace(
+        nets_fast,
+        renderer=dataclasses.replace(nets_fast.renderer, n_render_samples=0),
+    )
+
+    # one learned camera: init at (0, 0, -3) looking at the origin, zero
+    # delta pose (the LearnPose init), simple pinhole K
+    init_c2w = jnp.asarray([
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, -3.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ])[None]
+    K_inv = jnp.linalg.inv(jnp.asarray([
+        [32.0, 0.0, 16.0, 0.0],
+        [0.0, 32.0, 16.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]))
+    n = 32
+    kx, ky, kt = jax.random.split(jax.random.PRNGKey(3), 3)
+    px = jax.random.uniform(kx, (n,), minval=0.0, maxval=31.0)
+    py = jax.random.uniform(ky, (n,), minval=0.0, maxval=31.0)
+    target = jax.random.uniform(kt, (n, 3))
+
+    def pose_grad(nets):
+        def loss(pose_params):
+            c2w = learn_pose_c2w(pose_params, init_c2w, 0)
+            rays_o, rays_d = pixels_to_rays(c2w, K_inv, px, py)
+            near, far = near_far_from_sphere(rays_o, rays_d)
+            out = render(
+                nets, params, rays_o, rays_d, near, far,
+                perturb_overwrite=0, background_rgb=jnp.ones((1, 3)),
+                cos_anneal_ratio=1.0,
+            )
+            return jnp.abs(out["color_fine"] - target).mean()
+
+        return jax.grad(loss)(init_pose_params(1))
+
+    g_fast, _ = ravel_pytree(pose_grad(nets_fast))
+    g_faith, _ = ravel_pytree(pose_grad(nets_faithful))
+    g_fast = np.asarray(g_fast, np.float64)
+    g_faith = np.asarray(g_faith, np.float64)
+    assert np.isfinite(g_fast).all() and np.isfinite(g_faith).all()
+    assert np.abs(g_fast).max() > 1e-8, "pose gradient vanished under resample"
+    cos = float(
+        (g_fast @ g_faith)
+        / (np.linalg.norm(g_fast) * np.linalg.norm(g_faith) + 1e-30)
+    )
+    assert cos > 0.9, f"pose-gradient direction disagreement: cos={cos:.4f}"

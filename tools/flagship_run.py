@@ -81,7 +81,7 @@ def main(argv=None):
     p.add_argument("--learn-frozen", action="store_true",
                    help="control for --learn: same noisy poses, frozen "
                         "(no refinement) — isolates the refinement benefit")
-    p.add_argument("--shading", choices=["fixed", "camlight"],
+    p.add_argument("--shading", choices=["fixed", "camlight", "glossy"],
                    default="fixed",
                    help="'camlight' = light co-located with the camera + "
                         "specular: the view-dependent-radiance setting "

@@ -843,7 +843,7 @@ def main(argv=None):
     p.add_argument("--wavelet-epochs", type=int, default=6)
     p.add_argument("--wavelet-bs", type=int, default=2)
     p.add_argument("--fp32", action="store_true")
-    p.add_argument("--shading", choices=["fixed", "camlight"],
+    p.add_argument("--shading", choices=["fixed", "camlight", "glossy"],
                    default="fixed",
                    help="'camlight' = light co-located with the camera + "
                         "specular (the dynamic-lighting shape-radiance-"
