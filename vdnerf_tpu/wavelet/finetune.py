@@ -51,6 +51,11 @@ def parse_argument(argv=None):
     parser.add_argument("--image_size", type=int, default=800,
                         help="training resolution (reference hardcodes 800)")
     parser.add_argument("--val_freq", type=int, default=300)
+    parser.add_argument("--log_every", type=int, default=100,
+                        help="scalar-logging stride in steps (default "
+                             "matches the original print cadence; short "
+                             "QC windows pass 1 so metrics.jsonl carries "
+                             "the full loss trajectory)")
     return parser.parse_args(argv)
 
 
@@ -120,7 +125,7 @@ def finetune(argv=None):
                 variables, opt_state, batch, lr
             )
             niter += 1
-            if niter % 100 == 0:
+            if niter % args.log_every == 0:
                 print(
                     f"Epoch [{epoch}] iter {niter} "
                     f"loss {float(metrics['loss']):.4f}"
