@@ -311,8 +311,11 @@ def main():
         ("wmask", dict(wmask_shape=True, render_samples=64)),
         # the true shipped womsk_white_wdepth_tpu.conf step: 96-ch depth
         # head + masked feature-L1 distillation loss (scale 10) +
-        # skip_bg_inside, full-width core
-        ("wdepth", dict(wdepth_shape=True, fast_bg=True)),
+        # skip_bg_inside + the 96-of-128 frac-1.0 resampled core (post-
+        # onset program; shipped since the r05 distillation A/B —
+        # docs/VDN_CYCLE_r05_camlight_w10_rs96.json)
+        ("wdepth", dict(wdepth_shape=True, fast_bg=True, render_samples=96,
+                        uniform_frac=1.0)),
     ):
         if _over_budget(label):
             continue
@@ -357,8 +360,8 @@ def main():
         "wmask": "wmask_tpu.conf as shipped (n_outside=0 + mask BCE + "
                  "64-of-128 core, post-onset program)",
         "wdepth": "womsk_white_wdepth_tpu.conf as shipped (96-ch depth "
-                  "head + scale-10 distillation loss + skip_bg_inside, "
-                  "full-width core)",
+                  "head + scale-10 distillation loss + skip_bg_inside + "
+                  "96-of-128 frac=1.0 core, post-onset program)",
     }
     for label, kwargs in (("render", {}),
                           ("render_resample", dict(render_samples=64))):
