@@ -100,10 +100,15 @@ def test_wdepth_tpu_recipe():
     # arch w=10 Chamfer 0.0098 watertight where w=3 leaves 0.162;
     # camlight safety arm 0.0124 -> 0.0092 — monotone on both families)
     assert tcfg.depth_loss_scale == 10
-    # the resampled core has NO wdepth-regime convergence evidence —
-    # the conf must not ship it until an at-scale distillation run does
-    # (the round-3 verdict's missing-#1 lesson)
-    assert nets.renderer.n_render_samples == 0
+    # the resampled core ships ON since round 5: the at-scale camlight
+    # distillation A/B against the same wavelet teacher is parity-or-better
+    # on every axis (docs/VDN_CYCLE_r05_camlight_w10{,_rs96}.json; Chamfer
+    # 0.009242 -> 0.009161, identical export error). Mask-free regimes need
+    # the pure-uniform floor, and the onset must sit past the fully-ramped
+    # distillation schedule (depth_start_iter + 5000-iter ramp)
+    assert nets.renderer.n_render_samples == 96
+    assert nets.renderer.resample_uniform_frac == 1.0
+    assert tcfg.resample_from >= tcfg.depth_start_iter + 5000
     # reference-parity schedule anchors (dpt_runner.py:167-171 fixed ramp)
     assert tcfg.depth_start_iter == 5000
     # identical model dims to the reference's womsk_white_wdepth.conf
