@@ -59,3 +59,19 @@ def test_slerp_matches_scipy(ratio):
     ours = np.asarray(so3.slerp(R0, R1, ratio))
     ref = Slerp([0, 1], rots)(ratio).as_matrix()
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_umeyama_recovers_exact_similarity():
+    """Shared gauge-fit helper (used by both the cycle and flagship tools
+    for learned-camera QC): recovers an exact synthetic (s, R, t), and the
+    reflection guard keeps R a proper rotation."""
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(24, 3))
+    R_true = Rot.random(random_state=11).as_matrix()
+    s_true, t_true = 1.37, np.array([0.4, -0.2, 0.9])
+    dst = s_true * src @ R_true.T + t_true
+    s, R, t = so3.umeyama(src, dst)
+    assert abs(s - s_true) < 1e-9
+    np.testing.assert_allclose(R, R_true, atol=1e-9)
+    np.testing.assert_allclose(t, t_true, atol=1e-9)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-9)

@@ -451,12 +451,37 @@ def main(argv=None):
             tr = np.clip((np.trace(R, axis1=1, axis2=2) - 1.0) / 2.0, -1, 1)
             return float(np.degrees(np.arccos(tr)).mean())
 
+        # raw errors vs GT are gauge-limited (photometric self-consistency
+        # fixes cameras only up to a similarity; the fields absorb the
+        # rest) — quotient the gauge out with a camera-center Umeyama fit,
+        # exactly as tools/vdn_cycle_run.py does, so learn-arm pose AND
+        # mesh numbers are comparable across both tools
+        from vdnerf_tpu.utils.so3 import umeyama
+
+        gt64 = np.asarray(sd.pose_all, np.float64)
+        learned64 = np.asarray(learned, np.float64)
+        s_g, R_g, t_g = umeyama(learned64[:, :3, 3], gt64[:, :3, 3])
+        gauge_sim = (s_g, R_g, t_g)
+        aligned = learned64.copy()
+        aligned[:, :3, :3] = np.einsum("ij,njk->nik", R_g,
+                                       learned64[:, :3, :3])
+        aligned[:, :3, 3] = s_g * learned64[:, :3, 3] @ R_g.T + t_g
+
+        def center_err(a, b):
+            return float(np.linalg.norm(
+                np.asarray(a, np.float64)[:, :3, 3]
+                - np.asarray(b, np.float64)[:, :3, 3], axis=-1).mean())
+
         pose_stats = {
-            # absolute errors vs GT are gauge-limited (photometric
-            # self-consistency fixes cameras only up to a similarity; the
-            # fields absorb the rest) — PSNR is the meaningful metric
             "init_rot_err_deg": round(rot_err_deg(perturbed, sd.pose_all), 4),
             "final_rot_err_deg": round(rot_err_deg(learned, sd.pose_all), 4),
+            "init_center_err": round(center_err(perturbed, sd.pose_all), 5),
+            "final_center_err": round(center_err(learned, sd.pose_all), 5),
+            "aligned_rot_err_deg": round(rot_err_deg(aligned, gt64), 4),
+            "aligned_center_err": round(center_err(aligned, gt64), 5),
+            "gauge_scale": round(s_g, 6),
+            "gauge_rot_deg": round(float(np.degrees(np.arccos(
+                np.clip((np.trace(R_g) - 1.0) / 2.0, -1, 1)))), 4),
             "pose_param_delta_max_r": round(float(
                 np.abs(np.asarray(state["cams"]["pose"]["r"])).max()
             ), 5),
@@ -472,8 +497,21 @@ def main(argv=None):
     # 512^3 mesh through the native extractor
     params_f = state["params"]
 
-    def neg_sdf(pts):
-        return -sdf_value(nets.sdf, params_f["sdf"], pts)[..., 0]
+    if args.learn:
+        # learned-camera runs: the reconstruction lives in the learned
+        # gauge — query the SDF through the Umeyama similarity so the mesh
+        # is extracted in the GT frame and the Chamfer measures surface
+        # error with the gauge quotiented out (same transform as
+        # tools/vdn_cycle_run.py geometry_qc)
+        R_j = jnp.asarray(gauge_sim[1], jnp.float32)
+        t_j = jnp.asarray(gauge_sim[2], jnp.float32)
+
+        def neg_sdf(pts):  # pts in the GT frame
+            p_l = ((pts - t_j) @ R_j) / gauge_sim[0]
+            return -sdf_value(nets.sdf, params_f["sdf"], p_l)[..., 0]
+    else:
+        def neg_sdf(pts):
+            return -sdf_value(nets.sdf, params_f["sdf"], pts)[..., 0]
 
     # visual-hull cleaning: mask-free training leaves spurious far-field
     # shells GROWN OUT of the true surface (unconstrained SDF); cull
@@ -485,20 +523,13 @@ def main(argv=None):
             for i in range(sd.n_images)
         ]
     ).astype(np.uint8)
-    # hull-clip with the cameras the mesh was RECONSTRUCTED under: the
-    # learned (or frozen-noisy) frame drifts a few degrees from GT, which
-    # would wrongly cull genuine surface if GT projection matrices were used
+    # hull-clip cameras: --learn meshes are gauge-aligned into the GT frame
+    # above, so the GT projection matrices are the right hull; the frozen
+    # control's reconstruction stays in the noisy frame (per-camera noise
+    # is not a coherent similarity — no gauge to quotient), so clip with
+    # the cameras the mesh was reconstructed under
     if args.learn:
-        from vdnerf_tpu.data.cameras import all_learned_c2w, learn_intrin_K
-
-        c2w = np.asarray(all_learned_c2w(
-            state["cams"]["pose"], state["cams"]["init_c2w"]
-        ))
-        K_l = np.asarray(learn_intrin_K(
-            jax.tree_util.tree_map(np.asarray, state["cams"]["focal"]),
-            sd.H, sd.W,
-        ))
-        world_mats = np.stack([K_l @ np.linalg.inv(c) for c in c2w])
+        world_mats = np.stack(sd.world_mats_np)
     elif args.learn_frozen:
         world_mats = np.stack([
             sd.intrinsics_all[i] @ np.linalg.inv(perturbed[i])
@@ -545,6 +576,9 @@ def main(argv=None):
             "geometry": args.geometry,
             "learn_cameras": args.learn,
             "learn_frozen_control": args.learn_frozen,
+            # learn arms extract the mesh through the camera-center Umeyama
+            # similarity (GT frame), so chamfer is gauge-quotiented
+            "gauge_aligned_geometry": bool(args.learn),
             "bf16": not args.fp32, "fused_mlp": args.fused,
             "fast_bg": args.fast_bg,
             "render_samples": args.render_samples,

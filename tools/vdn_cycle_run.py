@@ -190,25 +190,12 @@ def make_noisy_cameras(scene_dir, seed=5):
 
 
 def _umeyama(src, dst):
-    """Least-squares similarity (s, R, t) with s*R@src_i + t ~= dst_i
-    (Umeyama 1991). Fit from camera centers: photometric self-consistency
-    fixes learned cameras only up to a global similarity (the fields absorb
-    the gauge), so learned-vs-GT pose and mesh comparisons must quotient it
-    out before measuring residuals."""
-    import numpy as np
+    """Camera-center gauge fit — shared vdnerf_tpu.utils.so3.umeyama (the
+    flagship tool gauge-aligns its learn arms with the SAME similarity so
+    both tools' learned-camera Chamfer/pose numbers are comparable)."""
+    from vdnerf_tpu.utils.so3 import umeyama
 
-    mu_s, mu_d = src.mean(0), dst.mean(0)
-    sc, dc = src - mu_s, dst - mu_d
-    cov = dc.T @ sc / len(src)
-    U, D, Vt = np.linalg.svd(cov)
-    S = np.eye(3)
-    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
-        S[2, 2] = -1.0
-    R = U @ S @ Vt
-    var_s = (sc ** 2).sum() / len(src)
-    s = float(np.trace(np.diag(D) @ S) / var_s)
-    t = mu_d - s * R @ mu_s
-    return s, R, t
+    return umeyama(src, dst)
 
 
 def pose_recovery_stats(runner, gt_pose_all):

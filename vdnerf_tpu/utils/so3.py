@@ -130,3 +130,30 @@ def slerp(R0: jax.Array, R1: jax.Array, ratio) -> jax.Array:
     w1 = jnp.where(use_lerp, ratio, jnp.sin(ratio * theta) / jnp.where(use_lerp, 1.0, sin_theta))
     q = w0[..., None] * q0 + w1[..., None] * q1
     return quat_to_mat(q)
+
+
+def umeyama(src, dst):
+    """Host-side least-squares similarity (s, R, t) with s*R@src_i + t
+    ~= dst_i (Umeyama 1991), fit from 3-D point sets (numpy, QC-path only).
+
+    Photometric self-consistency fixes learned cameras only up to a global
+    similarity — the fields absorb the gauge — so learned-vs-GT pose and
+    mesh comparisons (tools/vdn_cycle_run.py, tools/flagship_run.py) must
+    quotient it out before measuring residuals. Fit from camera centers.
+    """
+    import numpy as np
+
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    sc, dc = src - mu_s, dst - mu_d
+    cov = dc.T @ sc / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    var_s = (sc ** 2).sum() / len(src)
+    s = float(np.trace(np.diag(D) @ S) / var_s)
+    t = mu_d - s * R @ mu_s
+    return s, R, t
