@@ -132,11 +132,13 @@ def main(argv=None):
     ])
     report["stages"]["finetune_s"] = round(time.time() - t2, 1)
 
-    # pull the loss trajectory out of the finetune's metrics log
+    # pull the loss trajectory out of the finetune's TRAIN metrics log
+    # (the log dir also holds val/metrics.jsonl — a single end-of-run
+    # record; keep the per-step train stream)
     metrics_path = None
     for root, _dirs, files in os.walk(logpath):
         for f in files:
-            if f == "metrics.jsonl":
+            if f == "metrics.jsonl" and os.path.basename(root) == "train":
                 metrics_path = os.path.join(root, f)
     losses = []
     if metrics_path:
@@ -149,9 +151,20 @@ def main(argv=None):
     report["loss_last"] = round(losses[-1], 5) if losses else None
     report["n_loss_records"] = len(losses)
     report["losses_finite"] = bool(np.isfinite(losses).all()) if losses else None
-    report["loss_descended"] = (
-        bool(losses[-1] < losses[0]) if len(losses) >= 2 else None
-    )
+    # per-batch losses are noisy at ceil(views/bs) iters per epoch —
+    # compare epoch MEANS, first vs last
+    ipe = max(1, -(-args.views // args.bs))
+    report["iters_per_epoch"] = ipe
+    if len(losses) >= 2 * ipe:
+        first_m = float(np.mean(losses[:ipe]))
+        last_m = float(np.mean(losses[-ipe:]))
+        report["first_epoch_mean_loss"] = round(first_m, 5)
+        report["last_epoch_mean_loss"] = round(last_m, 5)
+        report["loss_descended"] = bool(last_m < first_m)
+    else:
+        report["loss_descended"] = (
+            bool(losses[-1] < losses[0]) if len(losses) >= 2 else None
+        )
     ckpts = []
     for root, _dirs, files in os.walk(logpath):
         ckpts += [os.path.join(root, f) for f in files if f == "model.npz"]
@@ -166,6 +179,8 @@ def main(argv=None):
         "finetune_wall_s": report["stages"]["finetune_s"],
         "loss_first": report["loss_first"],
         "loss_last": report["loss_last"],
+        "first_epoch_mean_loss": report.get("first_epoch_mean_loss"),
+        "last_epoch_mean_loss": report.get("last_epoch_mean_loss"),
         "loss_descended": report["loss_descended"],
     }), flush=True)
     return report
